@@ -1,0 +1,266 @@
+"""Spectral front-end: STFT/iSTFT, spectral compression, padding.
+
+Numerically matches the reference's torch front-end so checkpoints trained
+here reach the same PESQ operating point:
+
+* ``stft``/``istft`` match ``torch.stft``/``torch.istft`` with ``center=True``
+  (reflect padding), one-sided spectra, ``win_length == n_fft`` and
+  ``normalized=False``  (reference: fdbm/data_module.py:201-229).
+* ``spec_fwd``/``spec_back`` implement the magnitude-compression transform
+  ``|z|**e * exp(i*angle(z)) * factor`` and its inverse
+  (reference: fdbm/data_module.py:173-199).
+* ``pad_spec`` pads the time-frame axis to a multiple of 64 for the NCSN++
+  U-Net (reference: fdbm/util/other.py:76-90).
+
+All functions are pure jnp and jit/vmap/grad-compatible; shapes are static.
+The iSTFT overlap-add uses a reshape-and-shift fold (no scatter) when
+``n_fft % hop == 0`` so XLA lowers it to cheap pad/add ops on TPU.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# Windows
+# ---------------------------------------------------------------------------
+
+
+def hann_window(length: int) -> np.ndarray:
+    """Periodic Hann window, identical to torch.hann_window(periodic=True)."""
+    n = np.arange(length)
+    return (0.5 - 0.5 * np.cos(2.0 * np.pi * n / length)).astype(np.float32)
+
+
+def get_window(window_type: str, length: int) -> np.ndarray:
+    """'sqrthann' or 'hann' (reference: fdbm/data_module.py:13-19)."""
+    if window_type == "sqrthann":
+        return np.sqrt(hann_window(length)).astype(np.float32)
+    if window_type == "hann":
+        return hann_window(length)
+    raise NotImplementedError(f"Window type {window_type} not implemented!")
+
+
+# ---------------------------------------------------------------------------
+# STFT / iSTFT
+# ---------------------------------------------------------------------------
+
+
+def _reflect_pad_last(x: jnp.ndarray, pad: int) -> jnp.ndarray:
+    cfg = [(0, 0, 0)] * (x.ndim - 1) + [(pad, pad, 0)]
+    # jnp.pad mode="reflect" matches torch's reflect padding
+    return jnp.pad(x, [(p[0], p[1]) for p in cfg], mode="reflect")
+
+
+def stft(
+    x: jnp.ndarray,
+    n_fft: int,
+    hop_length: int,
+    window: jnp.ndarray,
+    center: bool = True,
+) -> jnp.ndarray:
+    """One-sided STFT of a real signal.
+
+    Args:
+      x: real signal ``[..., L]``.
+      window: ``[n_fft]`` analysis window.
+
+    Returns:
+      complex64 spectrogram ``[..., n_fft//2 + 1, n_frames]`` (freq-major,
+      like torch.stft).
+    """
+    if center:
+        x = _reflect_pad_last(x, n_fft // 2)
+    length = x.shape[-1]
+    n_frames = 1 + (length - n_fft) // hop_length
+    starts = np.arange(n_frames) * hop_length
+    # Gather frames: [..., n_frames, n_fft]
+    idx = starts[:, None] + np.arange(n_fft)[None, :]
+    frames = x[..., idx]
+    frames = frames * window
+    spec = jnp.fft.rfft(frames, n=n_fft, axis=-1)
+    # [..., n_frames, F] -> [..., F, n_frames]
+    return jnp.swapaxes(spec, -1, -2).astype(jnp.complex64)
+
+
+def _overlap_add(frames: jnp.ndarray, hop_length: int, out_len: int) -> jnp.ndarray:
+    """Overlap-add of ``[..., T, n_fft]`` frames at the given hop.
+
+    When n_fft is a multiple of hop (all shipped configs), uses the
+    reshape-and-shift fold: split each frame into k = n_fft//hop hop-sized
+    chunks; chunk j of frame t lands at offset (t+j)*hop, so summing k
+    shifted reshapes realises OLA with no scatter.
+    """
+    *batch, n_frames, n_fft = frames.shape
+    total = (n_frames - 1) * hop_length + n_fft
+    if n_fft % hop_length == 0:
+        k = n_fft // hop_length
+        chunks = frames.reshape(*batch, n_frames, k, hop_length)
+        out = jnp.zeros((*batch, total), frames.dtype)
+        for j in range(k):
+            flat = chunks[..., :, j, :].reshape(*batch, n_frames * hop_length)
+            out = out.at[..., j * hop_length : j * hop_length + n_frames * hop_length].add(flat)
+    else:
+        idx = (np.arange(n_frames)[:, None] * hop_length + np.arange(n_fft)[None, :]).reshape(-1)
+        out = jnp.zeros((*batch, total), frames.dtype)
+        out = out.at[..., idx].add(frames.reshape(*batch, -1))
+    return out[..., :out_len] if out_len < total else out
+
+
+@functools.lru_cache(maxsize=16)
+def _ola_window_sq_denominator(
+    window_bytes: bytes, n_fft: int, hop_length: int, n_frames: int
+) -> np.ndarray:
+    """Precompute the OLA normalisation sum_t w^2[n - t*hop] on host."""
+    window = np.frombuffer(window_bytes, dtype=np.float32)
+    total = (n_frames - 1) * hop_length + n_fft
+    den = np.zeros(total, np.float64)
+    wsq = (window.astype(np.float64)) ** 2
+    for t in range(n_frames):
+        den[t * hop_length : t * hop_length + n_fft] += wsq
+    return den.astype(np.float32)
+
+
+def istft(
+    spec: jnp.ndarray,
+    n_fft: int,
+    hop_length: int,
+    window: jnp.ndarray,
+    length: Optional[int] = None,
+    center: bool = True,
+) -> jnp.ndarray:
+    """Inverse one-sided STFT, matching torch.istft(center=True, length=...).
+
+    Args:
+      spec: complex spectrogram ``[..., F, T]`` with ``F == n_fft//2 + 1``.
+      length: output length; defaults to ``(T-1)*hop`` for center=True.
+
+    Returns:
+      real signal ``[..., length]``.
+    """
+    n_frames = spec.shape[-1]
+    frames = jnp.fft.irfft(jnp.swapaxes(spec, -1, -2), n=n_fft, axis=-1)
+    frames = frames * window
+    total = (n_frames - 1) * hop_length + n_fft
+    num = _overlap_add(frames, hop_length, total)
+
+    win_np = np.asarray(jax.device_get(window) if isinstance(window, jnp.ndarray) else window,
+                        dtype=np.float32)
+    den = _ola_window_sq_denominator(win_np.tobytes(), n_fft, hop_length, n_frames)
+    sig = num / jnp.asarray(np.where(den > 1e-11, den, 1.0))
+
+    if center:
+        pad = n_fft // 2
+        default_len = total - 2 * pad
+        out_len = default_len if length is None else length
+        sig = sig[..., pad:]
+        if out_len <= sig.shape[-1]:
+            sig = sig[..., :out_len]
+        else:
+            sig = jnp.pad(sig, [(0, 0)] * (sig.ndim - 1) + [(0, out_len - sig.shape[-1])])
+    elif length is not None:
+        sig = sig[..., :length]
+    return sig
+
+
+# ---------------------------------------------------------------------------
+# Spectral compression transform (magnitude-warped complex spectrogram)
+# ---------------------------------------------------------------------------
+
+
+def spec_fwd(
+    spec: jnp.ndarray,
+    factor: float = 0.15,
+    abs_exponent: float = 0.5,
+    transform_type: str = "exponent",
+) -> jnp.ndarray:
+    """Forward compression ``|z|**e * exp(i*angle(z)) * factor``."""
+    if transform_type == "exponent":
+        if abs_exponent != 1:
+            e = abs_exponent
+            mag = jnp.abs(spec)
+            # |z|^e * z/|z| == |z|^(e-1) * z ; guard the origin like torch
+            # (angle(0)=0 => output 0).
+            scale = jnp.where(mag > 0, mag ** (e - 1.0), 0.0)
+            spec = spec * scale
+        return spec * factor
+    if transform_type == "log":
+        mag = jnp.abs(spec)
+        scale = jnp.where(mag > 0, jnp.log1p(mag) / mag, 0.0)
+        return spec * scale * factor
+    if transform_type == "none":
+        return spec
+    raise ValueError(f"Unknown transform_type {transform_type}")
+
+
+def spec_back(
+    spec: jnp.ndarray,
+    factor: float = 0.15,
+    abs_exponent: float = 0.5,
+    transform_type: str = "exponent",
+) -> jnp.ndarray:
+    """Inverse of :func:`spec_fwd`."""
+    if transform_type == "exponent":
+        spec = spec / factor
+        if abs_exponent != 1:
+            e = abs_exponent
+            mag = jnp.abs(spec)
+            scale = jnp.where(mag > 0, mag ** (1.0 / e - 1.0), 0.0)
+            spec = spec * scale
+        return spec
+    if transform_type == "log":
+        spec = spec / factor
+        mag = jnp.abs(spec)
+        scale = jnp.where(mag > 0, jnp.expm1(mag) / mag, 0.0)
+        return spec * scale
+    if transform_type == "none":
+        return spec
+    raise ValueError(f"Unknown transform_type {transform_type}")
+
+
+# ---------------------------------------------------------------------------
+# Frame padding for NCSN++ (time frames to a multiple of 64)
+# ---------------------------------------------------------------------------
+
+
+def pad_spec(spec: jnp.ndarray, mode: str = "zero_pad", multiple: int = 64) -> jnp.ndarray:
+    """Pad the last (time-frame) axis of [..., F, T] to a multiple of 64."""
+    t = spec.shape[-1]
+    num_pad = (-t) % multiple
+    if num_pad == 0:
+        return spec
+    pad_cfg = [(0, 0)] * (spec.ndim - 1) + [(0, num_pad)]
+    if mode == "zero_pad":
+        return jnp.pad(spec, pad_cfg)
+    if mode == "reflection":
+        return jnp.pad(spec, pad_cfg, mode="reflect")
+    if mode == "replication":
+        return jnp.pad(spec, pad_cfg, mode="edge")
+    raise NotImplementedError(f"pad mode {mode} not implemented")
+
+
+def num_frames_for_length(length: int, n_fft: int, hop_length: int) -> int:
+    """Frame count produced by :func:`stft` with center=True."""
+    return 1 + (length + 2 * (n_fft // 2) - n_fft) // hop_length
+
+
+# ---------------------------------------------------------------------------
+# Resampling (polyphase, torch-free librosa.resample replacement)
+# ---------------------------------------------------------------------------
+
+
+def resample_poly_np(x: np.ndarray, orig_sr: int, target_sr: int) -> np.ndarray:
+    """Host-side polyphase resampling (replaces librosa.resample)."""
+    if orig_sr == target_sr:
+        return x
+    from scipy.signal import resample_poly
+    from math import gcd
+
+    g = gcd(int(orig_sr), int(target_sr))
+    return resample_poly(x, target_sr // g, orig_sr // g, axis=-1).astype(x.dtype)
