@@ -1,0 +1,318 @@
+"""Samplers: exponential-integrator ODE/SDE, predictor-corrector, RK45.
+
+TPU-native re-design of the reference sampler host (fdbm/bridge.py:56-166):
+
+* All per-step path weights are precomputed as ``[N]`` vectors outside the
+  loop, and the loop itself is a single ``lax.scan`` whose carry is the
+  complex state — one XLA computation for the whole N-step sampler, no
+  Python-loop dispatch and no host sync.
+* The EI samplers evaluate the model at ``t_prev`` (reference:
+  bridge.py:76,99) and the SDE sampler zeroes its noise on the final step
+  (bridge.py:105-106).
+* ``ode_int`` replaces scipy.solve_ivp (bridge.py:115-140) with a
+  jax-native adaptive Dormand-Prince RK45 under ``lax.while_loop`` — the
+  whole solve stays on device.
+* Complex noise is CN(0,1): real/imag each have variance 1/2, matching
+  ``torch.randn_like`` on complex tensors.
+
+``model_fn(x_t, y, t)`` takes complex ``[B,C,F,T]`` states and a ``[B]``
+time vector, like the reference backbone signature.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from fdbm_tpu.paths import ProbabilityPath, make_path
+
+Array = jnp.ndarray
+ModelFn = Callable[[Array, Array, Array], Array]
+
+
+def complex_normal_like(key: jax.Array, x: Array) -> Array:
+    """CN(0,1) noise with the shape of x (complex dtype)."""
+    kr, ki = jax.random.split(key)
+    shape = x.shape
+    re = jax.random.normal(kr, shape, jnp.float32)
+    im = jax.random.normal(ki, shape, jnp.float32)
+    return ((re + 1j * im) / jnp.sqrt(2.0)).astype(jnp.complex64)
+
+
+@dataclasses.dataclass(frozen=True)
+class Bridge:
+    """Path + sampler configuration (reference Bridge, bridge.py:14-64)."""
+
+    path: ProbabilityPath
+    N: int = 5
+    T: float = 1.0
+    sampler_type: str = "ode_ei"
+    sampling_eps: float = 1e-4
+
+    @classmethod
+    def create(cls, bridge: str, N: int = 5, T: float = 1.0,
+               sampler_type: str = "ode_ei", sampling_eps: float = 1e-4, **kwargs):
+        path = make_path(bridge, T=T, **kwargs)
+        return cls(path=path, N=N, T=T, sampler_type=sampler_type,
+                   sampling_eps=sampling_eps)
+
+    @property
+    def start_time(self) -> float:
+        return self.sampling_eps if self.path.sampling_direction == "forward" else self.path.T
+
+    @property
+    def end_time(self) -> float:
+        return self.path.T if self.path.sampling_direction == "forward" else self.sampling_eps
+
+    # -- training-side path utilities --------------------------------------
+
+    def probability_path(self, s: Array, y: Array, t: Array):
+        """Mean/std of the marginal at time t (t: [B])."""
+        a_t, b_t, sigma_t = self.path.path_param(t)
+        bcast = (slice(None),) + (None,) * (s.ndim - 1)
+        mean = a_t[bcast] * s + b_t[bcast] * y
+        return mean, sigma_t
+
+    def prior_sampling(self, key: jax.Array, y: Array) -> Array:
+        t0 = jnp.full((y.shape[0],), self.start_time, jnp.float32)
+        _, b0, sig0 = self.path.path_param(t0)
+        z = complex_normal_like(key, y)
+        bcast = (slice(None),) + (None,) * (y.ndim - 1)
+        return y * b0[bcast] + z * sig0[bcast]
+
+    def score_fn(self, t: Array, x: Array, s: Array, y: Array) -> Array:
+        mean, sigma = self.probability_path(s, y, t)
+        bcast = (slice(None),) + (None,) * (x.ndim - 1)
+        return -(x - mean) / (sigma[bcast] ** 2 + 1e-8)
+
+    # -- samplers ------------------------------------------------------------
+
+    def time_grid(self) -> Array:
+        return jnp.linspace(self.start_time, self.end_time, self.N + 1)
+
+    def sample(self, model_fn: ModelFn, y: Array, key: jax.Array, **kwargs) -> Array:
+        if self.sampler_type == "ode_ei":
+            return self.ode_sampler_ei(model_fn, y, key)
+        if self.sampler_type == "sde_ei":
+            return self.sde_sampler_ei(model_fn, y, key)
+        if self.sampler_type == "ode_int":
+            return self.ode_sampler_int(model_fn, y, key, **kwargs)
+        if self.sampler_type == "pc":
+            return self.pc_sampler(model_fn, y, key, **kwargs)
+        raise ValueError(f"Unknown sampler_type {self.sampler_type}")
+
+    def ode_sampler_ei(self, model_fn: ModelFn, y: Array, key: jax.Array) -> Array:
+        times = self.time_grid()
+        t_prev, t_curr = times[:-1], times[1:]
+        w_xt, w_s, w_y = self.path.sampling_param_ode_ei(t_curr, t_prev)
+        x0 = self.prior_sampling(key, y)
+        batch = y.shape[0]
+
+        def step(x, per_step):
+            wxt, ws, wy, tp = per_step
+            est = model_fn(x, y, jnp.full((batch,), tp, jnp.float32))
+            x = wxt.astype(jnp.complex64) * x + ws.astype(jnp.complex64) * est \
+                + wy.astype(jnp.complex64) * y
+            return x, None
+
+        x, _ = lax.scan(step, x0, (w_xt, w_s, w_y, t_prev))
+        return x
+
+    def sde_sampler_ei(self, model_fn: ModelFn, y: Array, key: jax.Array) -> Array:
+        times = self.time_grid()
+        t_prev, t_curr = times[:-1], times[1:]
+        w_xt, w_s, w_z = self.path.sampling_param_sde_ei(t_curr, t_prev)
+        # Final step is deterministic (bridge.py:105-106).
+        w_z = w_z.at[-1].set(0.0)
+        key, prior_key = jax.random.split(key)
+        x0 = self.prior_sampling(prior_key, y)
+        step_keys = jax.random.split(key, self.N)
+        batch = y.shape[0]
+
+        def step(x, per_step):
+            wxt, ws, wz, tp, k = per_step
+            est = model_fn(x, y, jnp.full((batch,), tp, jnp.float32))
+            z = complex_normal_like(k, x)
+            x = wxt.astype(jnp.complex64) * x + ws.astype(jnp.complex64) * est \
+                + wz.astype(jnp.complex64) * z
+            return x, None
+
+        x, _ = lax.scan(step, x0, (w_xt, w_s, w_z, t_prev, step_keys))
+        return x
+
+    def pc_sampler(
+        self,
+        model_fn: ModelFn,
+        y: Array,
+        key: jax.Array,
+        predictor_name: str = "reverse_diffusion",
+        corrector_name: str = "ald",
+        denoise: bool = True,
+        snr: float = 0.5,
+        corrector_steps: int = 1,
+    ) -> Array:
+        """Predictor-corrector sampler (reference: bridge.py:142-166).
+
+        The reference registers 'euler_maruyama' and 'none' predictors and
+        'langevin'/'ald'/'none' correctors; its default predictor name
+        'reverse_diffusion' is unregistered there, so (as there) any name
+        other than 'euler_maruyama' acts as the no-op predictor.
+        """
+        timesteps = jnp.linspace(self.start_time, self.end_time, self.N)
+        # stepsize_i = t_i - t_{i+1} except the last, which is t_{N-1}
+        stepsizes = jnp.concatenate(
+            [timesteps[:-1] - timesteps[1:], timesteps[-1:]]
+        )
+        key, prior_key = jax.random.split(key)
+        x0 = self.prior_sampling(prior_key, y)
+        step_keys = jax.random.split(key, self.N)
+        batch = y.shape[0]
+        bcast = (slice(None),) + (None,) * (y.ndim - 1)
+
+        def corrector_update(x, t_vec, k):
+            x_mean = x
+            for i in range(corrector_steps):
+                k, sub = jax.random.split(k)
+                s = model_fn(x, y, t_vec)
+                grad = self.score_fn(t_vec, x, s, y)
+                noise = complex_normal_like(sub, x)
+                if corrector_name == "langevin":
+                    grad_norm = jnp.mean(
+                        jnp.linalg.norm(jnp.abs(grad).reshape(batch, -1), axis=-1)
+                    )
+                    noise_norm = jnp.mean(
+                        jnp.linalg.norm(jnp.abs(noise).reshape(batch, -1), axis=-1)
+                    )
+                    step_size = (snr * noise_norm / (grad_norm + 1e-8)) ** 2 * 2
+                    step_size = jnp.full((batch,), step_size)
+                elif corrector_name == "ald":
+                    std = self.path.sigma_t(t_vec)
+                    step_size = (snr * std) ** 2 * 2
+                elif corrector_name == "none":
+                    return x, x
+                else:
+                    raise ValueError(f"Unknown corrector {corrector_name}")
+                x_mean = x + step_size[bcast] * grad
+                x = x_mean + noise * jnp.sqrt(step_size * 2)[bcast]
+            return x, x_mean
+
+        def predictor_update(x, t_vec, stepsize, k):
+            if predictor_name != "euler_maruyama":
+                return x, x  # no-op predictor
+            dt = -stepsize
+            z = complex_normal_like(k, x)
+            s = model_fn(x, y, t_vec)
+            w_x, w_s, w_y, diffusion = self.path.sde_weights(t_vec)
+            drift = w_x[bcast] * x + w_s[bcast] * s + w_y[bcast] * y
+            x_mean = x + drift * dt
+            x = x_mean + diffusion[bcast] * jnp.sqrt(-dt) * z
+            return x, x_mean
+
+        def step(carry, per_step):
+            x, _ = carry
+            t, stepsize, k = per_step
+            kc, kp = jax.random.split(k)
+            t_vec = jnp.full((batch,), t, jnp.float32)
+            x, x_mean = corrector_update(x, t_vec, kc)
+            x, x_mean = predictor_update(x, t_vec, stepsize, kp)
+            return (x, x_mean), None
+
+        (x, x_mean), _ = lax.scan(step, (x0, x0), (timesteps, stepsizes, step_keys))
+        return x_mean if denoise else x
+
+    def ode_sampler_int(
+        self,
+        model_fn: ModelFn,
+        y: Array,
+        key: jax.Array,
+        rtol: float = 1e-5,
+        atol: float = 1e-5,
+        max_steps: int = 1000,
+    ) -> Array:
+        """Adaptive Dormand-Prince RK45 probability-flow ODE solve.
+
+        Replaces scipy.integrate.solve_ivp(method='RK45') with an on-device
+        while_loop so no host round-trips occur per step.
+        """
+        x0 = self.prior_sampling(key, y)
+        t0, t1 = self.start_time, self.end_time
+        batch = y.shape[0]
+        bcast = (slice(None),) + (None,) * (y.ndim - 1)
+
+        def f(t, x):
+            t_vec = jnp.full((batch,), t, jnp.float32)
+            s = model_fn(x, y, t_vec)
+            w_x, w_s, w_y = self.path.ode_weights(t_vec)
+            return w_x[bcast] * x + w_s[bcast] * s + w_y[bcast] * y
+
+        return _rk45(f, x0, t0, t1, rtol, atol, max_steps)
+
+
+# Dormand-Prince (RK45) Butcher tableau
+_DP_C = jnp.array([0.0, 1 / 5, 3 / 10, 4 / 5, 8 / 9, 1.0, 1.0])
+_DP_A = [
+    [],
+    [1 / 5],
+    [3 / 40, 9 / 40],
+    [44 / 45, -56 / 15, 32 / 9],
+    [19372 / 6561, -25360 / 2187, 64448 / 6561, -212 / 729],
+    [9017 / 3168, -355 / 33, 46732 / 5247, 49 / 176, -5103 / 18656],
+    [35 / 384, 0.0, 500 / 1113, 125 / 192, -2187 / 6784, 11 / 84],
+]
+_DP_B5 = jnp.array([35 / 384, 0.0, 500 / 1113, 125 / 192, -2187 / 6784, 11 / 84, 0.0])
+_DP_B4 = jnp.array(
+    [5179 / 57600, 0.0, 7571 / 16695, 393 / 640, -92097 / 339200, 187 / 2100, 1 / 40]
+)
+
+
+def _rk45(f, x0: Array, t0: float, t1: float, rtol: float, atol: float,
+          max_steps: int) -> Array:
+    """Adaptive RK45 integrating from t0 to t1 (either direction)."""
+    direction = 1.0 if t1 >= t0 else -1.0
+    span = abs(t1 - t0)
+    h0 = direction * span / 50.0
+
+    def dp_step(t, x, h):
+        ks = []
+        for i in range(7):
+            xi = x
+            for j, a in enumerate(_DP_A[i]):
+                xi = xi + h * a * ks[j]
+            ks.append(f(t + _DP_C[i] * h, xi))
+        x5 = x
+        x4 = x
+        for i in range(7):
+            x5 = x5 + h * _DP_B5[i] * ks[i]
+            x4 = x4 + h * _DP_B4[i] * ks[i]
+        err = x5 - x4
+        scale = atol + jnp.maximum(jnp.abs(x5), jnp.abs(x)) * rtol
+        err_norm = jnp.sqrt(jnp.mean(jnp.abs(err / scale) ** 2))
+        return x5, err_norm
+
+    def cond(state):
+        t, x, h, n = state
+        return jnp.logical_and(direction * (t1 - t) > 1e-10, n < max_steps)
+
+    def body(state):
+        t, x, h, n = state
+        # Clip h so we don't step past t1.
+        h = jnp.where(direction * (t + h - t1) > 0, t1 - t, h)
+        x_new, err_norm = dp_step(t, x, h)
+        accept = err_norm <= 1.0
+        t = jnp.where(accept, t + h, t)
+        x = jnp.where(accept, x_new, x)
+        # PI-free step-size control with standard safety factor.
+        factor = jnp.clip(0.9 * (err_norm + 1e-12) ** (-0.2), 0.2, 5.0)
+        h = h * factor
+        h = jnp.where(jnp.abs(h) < 1e-8 * span, direction * 1e-8 * span, h)
+        return (t, x, h, n + 1)
+
+    t, x, h, n = lax.while_loop(
+        cond, body, (jnp.asarray(t0, jnp.float32), x0, jnp.asarray(h0, jnp.float32),
+                     jnp.asarray(0, jnp.int32))
+    )
+    return x
