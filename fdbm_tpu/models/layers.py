@@ -1,0 +1,139 @@
+"""Shared neural layers: time embeddings, BiLSTM scan, PReLU, norms.
+
+TPU design notes:
+* The BiLSTM precomputes the input projection for every timestep as one
+  large MXU matmul, so the sequential `lax.scan` only carries the small
+  recurrent matmul; both directions run inside a single scan (stacked on a
+  leading axis) to halve scan overhead.
+* Norm statistics are computed in float32 regardless of compute dtype,
+  mirroring the reference's autocast-disabled LayerNorms
+  (fdbm/backbones/tfgridnet.py:441-455).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+Array = jnp.ndarray
+Dtype = Any
+
+
+class GaussianFourierProjection(nn.Module):
+    """Gaussian Fourier features for the (log-)time embedding.
+
+    Matches reference layerspp.GaussianFourierProjection:32-41: fixed
+    random W ~ N(0, scale^2); output [sin(2*pi*W*x), cos(2*pi*W*x)].
+    The projection matrix is frozen with stop_gradient (the reference sets
+    requires_grad=False).
+    """
+
+    embedding_size: int = 256
+    scale: float = 16.0
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        w = self.param(
+            "W",
+            lambda key, shape: jax.random.normal(key, shape) * self.scale,
+            (self.embedding_size,),
+        )
+        w = jax.lax.stop_gradient(w)
+        x_proj = x[:, None] * w[None, :] * 2.0 * np.pi
+        return jnp.concatenate([jnp.sin(x_proj), jnp.cos(x_proj)], axis=-1)
+
+
+class PReLU(nn.Module):
+    """PReLU with a configurable parameter shape (torch nn.PReLU parity).
+
+    ``param_shape=()`` is the single-parameter variant; pass e.g. ``(H, 1)``
+    together with ``axis`` semantics folded into the shape for per-head
+    parameters broadcast against the input.
+    """
+
+    param_shape: tuple = ()
+    init: float = 0.25
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        a = self.param(
+            "alpha", lambda key, shape: jnp.full(shape, self.init, jnp.float32),
+            self.param_shape,
+        )
+        return jnp.where(x >= 0, x, a.astype(x.dtype) * x)
+
+
+def layer_norm_f32(x: Array, gamma: Array, beta: Array, axis, eps: float = 1e-5) -> Array:
+    """LayerNorm over ``axis`` with fp32 statistics (biased variance)."""
+    orig_dtype = x.dtype
+    x32 = x.astype(jnp.float32)
+    mu = jnp.mean(x32, axis=axis, keepdims=True)
+    var = jnp.var(x32, axis=axis, keepdims=True)
+    xh = (x32 - mu) * jax.lax.rsqrt(var + eps)
+    return (xh * gamma + beta).astype(orig_dtype)
+
+
+class BiLSTM(nn.Module):
+    """Bidirectional single-layer LSTM over axis 1 of ``[B, S, D]``.
+
+    Returns ``[B, S, 2*hidden]`` (forward ++ backward), matching
+    ``torch.nn.LSTM(bidirectional=True)`` output semantics.
+
+    The input projection ``x @ W_ih + b`` for all timesteps and both
+    directions is a single batched matmul; the scan carries only
+    ``h @ W_hh``. Gate order is (i, f, g, o) like torch.
+    """
+
+    hidden: int
+    dtype: Dtype = jnp.float32
+    unroll: int = 4
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        b, s, d = x.shape
+        h = self.hidden
+
+        # torch LSTM init: U(-1/sqrt(hidden), 1/sqrt(hidden)) for all weights
+        def uinit(key, shape):
+            return jax.random.uniform(
+                key, shape, jnp.float32, -1.0 / np.sqrt(h), 1.0 / np.sqrt(h)
+            )
+
+        w_ih = self.param("w_ih", uinit, (2, d, 4 * h))
+        w_hh = self.param("w_hh", uinit, (2, h, 4 * h))
+        bias = self.param("bias", uinit, (2, 4 * h))
+
+        dt = self.dtype
+        xf = x.astype(dt)
+        # Input projections: [B,S,D] x [2,D,4H] -> [2,B,S,4H]
+        xp = jnp.einsum("bsd,zdg->zbsg", xf, w_ih.astype(dt)) + bias.astype(dt)[:, None, None, :]
+        # Direction 1 sees the sequence reversed.
+        xp = jnp.stack([xp[0], jnp.flip(xp[1], axis=1)], axis=0)
+        # scan over S: inputs [S, 2, B, 4H]
+        xs = jnp.moveaxis(xp, 2, 0)
+
+        w_hh_c = w_hh.astype(dt)
+
+        def cell(carry, x_t):
+            h_prev, c_prev = carry
+            gates = x_t + jnp.einsum("zbh,zhg->zbg", h_prev, w_hh_c)
+            i, f, g, o = jnp.split(gates, 4, axis=-1)
+            i = jax.nn.sigmoid(i)
+            f = jax.nn.sigmoid(f)
+            g = jnp.tanh(g)
+            o = jax.nn.sigmoid(o)
+            c_new = f * c_prev.astype(dt) + i * g
+            h_new = o * jnp.tanh(c_new)
+            return (h_new, c_new.astype(jnp.float32)), h_new
+
+        h0 = jnp.zeros((2, b, h), dt)
+        c0 = jnp.zeros((2, b, h), jnp.float32)
+        _, ys = jax.lax.scan(cell, (h0, c0), xs, unroll=self.unroll)
+        # ys: [S, 2, B, H] -> fwd [B,S,H], bwd flipped back
+        fwd = jnp.moveaxis(ys[:, 0], 0, 1)
+        bwd = jnp.flip(jnp.moveaxis(ys[:, 1], 0, 1), axis=1)
+        return jnp.concatenate([fwd, bwd], axis=-1)
