@@ -1,0 +1,201 @@
+"""Host-side data pipeline: paired clean/noisy wavs -> batched audio crops.
+
+Capability parity with the reference Specs dataset / SpecsDataModule
+(fdbm/data_module.py:22-247), redesigned for TPU input pipelines:
+
+* Workers only read wavs, crop/pad, and normalise — the STFT + spectral
+  compression run **inside the jitted train step on device** (the reference
+  does them on CPU DataLoader workers).  Raw audio batches are smaller than
+  complex spectrograms, so this also halves host->device bytes.
+* A thread-pool prefetcher keeps a bounded queue of ready batches so the
+  TPU never waits on file IO.
+
+Directory layout (format='default'): {base_dir}/{subset}/clean|noisy/**/*.wav
+with subset in train/valid/test (reference data_module.py:29-34).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import queue
+import threading
+from glob import glob
+from os.path import join
+from typing import Iterator, List, Optional, Tuple
+
+import numpy as np
+
+from fdbm_tpu.utils.audio import read_wav
+
+
+@dataclasses.dataclass
+class DataConfig:
+    base_dir: str
+    format: str = "default"
+    batch_size: int = 8
+    n_fft: int = 512
+    hop_length: int = 256
+    num_frames: int = 256
+    window: str = "sqrthann"
+    num_workers: int = 4
+    dummy: bool = False
+    spec_factor: float = 0.15
+    spec_abs_exponent: float = 0.5
+    normalize: str = "noisy"
+    transform_type: str = "exponent"
+    num_data_per_epoch: Optional[int] = None
+
+    @property
+    def target_len(self) -> int:
+        # formula applies for center=True (reference data_module.py:58)
+        return (self.num_frames - 1) * self.hop_length
+
+
+def _paired_files(base_dir: str, subset: str) -> Tuple[List[str], List[str]]:
+    clean = sorted(glob(join(base_dir, subset, "clean", "*.wav"))) + sorted(
+        glob(join(base_dir, subset, "clean", "**", "*.wav"))
+    )
+    noisy = sorted(glob(join(base_dir, subset, "noisy", "*.wav"))) + sorted(
+        glob(join(base_dir, subset, "noisy", "**", "*.wav"))
+    )
+    return clean, noisy
+
+
+class SpecsDataset:
+    """Paired dataset yielding normalised audio crops (x, y) [target_len]."""
+
+    def __init__(self, cfg: DataConfig, subset: str, shuffle_spec: bool,
+                 seed: int = 0):
+        if cfg.format != "default":
+            raise NotImplementedError(f"Directory format {cfg.format} unknown!")
+        self.cfg = cfg
+        self.subset = subset
+        self.shuffle_spec = shuffle_spec
+        self.clean_files_all, self.noisy_files_all = _paired_files(cfg.base_dir, subset)
+        if len(self.clean_files_all) != len(self.noisy_files_all):
+            raise ValueError(
+                f"{subset}: {len(self.clean_files_all)} clean vs "
+                f"{len(self.noisy_files_all)} noisy files"
+            )
+        self.rng = np.random.default_rng(seed)
+        self.clean_files: List[str] = []
+        self.noisy_files: List[str] = []
+        self.sample_data_per_epoch()
+
+    def sample_data_per_epoch(self) -> None:
+        n = self.cfg.num_data_per_epoch
+        if n is None:
+            self.clean_files = self.clean_files_all
+            self.noisy_files = self.noisy_files_all
+        else:
+            idx = self.rng.choice(len(self.clean_files_all), size=n, replace=False)
+            self.clean_files = [self.clean_files_all[i] for i in idx]
+            self.noisy_files = [self.noisy_files_all[i] for i in idx]
+
+    def __len__(self) -> int:
+        n = len(self.clean_files)
+        return max(1, n // 200) if self.cfg.dummy and n else n
+
+    def load_item(self, i: int) -> Tuple[np.ndarray, np.ndarray]:
+        x, _ = read_wav(self.clean_files[i])
+        y, _ = read_wav(self.noisy_files[i])
+        x, y = x[0], y[0]
+        target_len = self.cfg.target_len
+        current_len = x.shape[-1]
+        pad = max(target_len - current_len, 0)
+        if pad == 0:
+            if self.shuffle_spec:
+                start = int(self.rng.uniform(0, current_len - target_len))
+            else:
+                start = int((current_len - target_len) / 2)
+            x = x[start : start + target_len]
+            y = y[start : start + target_len]
+        else:
+            x = np.pad(x, (pad // 2, pad // 2 + pad % 2))
+            y = np.pad(y, (pad // 2, pad // 2 + pad % 2))
+
+        normalize = self.cfg.normalize
+        if normalize == "noisy":
+            normfac = np.max(np.abs(y))
+        elif normalize == "clean":
+            normfac = np.max(np.abs(x))
+        elif normalize == "not":
+            normfac = 1.0
+        elif normalize == "std":
+            normfac = np.std(y)
+        else:
+            raise ValueError(f"Unknown normalize mode {normalize}")
+        if normfac == 0:
+            normfac = 1.0
+        return (x / normfac).astype(np.float32), (y / normfac).astype(np.float32)
+
+
+class BatchLoader:
+    """Thread-prefetched batch iterator over a SpecsDataset.
+
+    Yields (x, y) float32 arrays [B, target_len]; drops the last partial
+    batch in training (static shapes for jit), keeps it padded-by-repeat in
+    eval so every item is seen.
+    """
+
+    def __init__(self, dataset: SpecsDataset, batch_size: int, shuffle: bool,
+                 num_workers: int = 4, drop_last: bool = True, seed: int = 0):
+        self.ds = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.num_workers = max(1, num_workers)
+        self.drop_last = drop_last
+        self.epoch_rng = np.random.default_rng(seed)
+
+    def __len__(self) -> int:
+        n = len(self.ds)
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def __iter__(self) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+        n = len(self.ds)
+        order = np.arange(n)
+        if self.shuffle:
+            self.epoch_rng.shuffle(order)
+        batches = []
+        for s in range(0, n, self.batch_size):
+            idx = order[s : s + self.batch_size]
+            if len(idx) < self.batch_size:
+                if self.drop_last:
+                    continue
+                idx = np.concatenate([idx, order[: self.batch_size - len(idx)]])
+            batches.append(idx)
+
+        q: "queue.Queue" = queue.Queue(maxsize=4)
+        stop = threading.Event()
+
+        def worker():
+            try:
+                for idx in batches:
+                    if stop.is_set():
+                        return
+                    xs, ys = zip(*(self.ds.load_item(int(i)) for i in idx))
+                    q.put((np.stack(xs), np.stack(ys)))
+            finally:
+                q.put(None)
+
+        th = threading.Thread(target=worker, daemon=True)
+        th.start()
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    return
+                yield item
+        finally:
+            stop.set()
+
+
+def make_loaders(cfg: DataConfig, seed: int = 0):
+    """(train_loader, valid_loader) mirroring SpecsDataModule.setup('fit')."""
+    train_set = SpecsDataset(cfg, "train", shuffle_spec=True, seed=seed)
+    valid_set = SpecsDataset(cfg, "valid", shuffle_spec=False, seed=seed)
+    train_loader = BatchLoader(train_set, cfg.batch_size, shuffle=True,
+                               num_workers=cfg.num_workers, drop_last=True, seed=seed)
+    valid_loader = BatchLoader(valid_set, cfg.batch_size, shuffle=False,
+                               num_workers=cfg.num_workers, drop_last=False, seed=seed)
+    return train_loader, valid_loader

@@ -113,18 +113,15 @@ def _overlap_add(frames: jnp.ndarray, hop_length: int, out_len: int) -> jnp.ndar
     return out[..., :out_len] if out_len < total else out
 
 
-@functools.lru_cache(maxsize=16)
 def _ola_window_sq_denominator(
-    window_bytes: bytes, n_fft: int, hop_length: int, n_frames: int
-) -> np.ndarray:
-    """Precompute the OLA normalisation sum_t w^2[n - t*hop] on host."""
-    window = np.frombuffer(window_bytes, dtype=np.float32)
-    total = (n_frames - 1) * hop_length + n_fft
-    den = np.zeros(total, np.float64)
-    wsq = (window.astype(np.float64)) ** 2
-    for t in range(n_frames):
-        den[t * hop_length : t * hop_length + n_fft] += wsq
-    return den.astype(np.float32)
+    window: jnp.ndarray, hop_length: int, n_frames: int
+) -> jnp.ndarray:
+    """OLA normalisation sum_t w^2[n - t*hop], in pure jnp (trace-safe;
+    XLA constant-folds it when the window is a compile-time constant)."""
+    wsq = (window.astype(jnp.float32)) ** 2
+    frames = jnp.broadcast_to(wsq, (n_frames, wsq.shape[0]))
+    total = (n_frames - 1) * hop_length + wsq.shape[0]
+    return _overlap_add(frames, hop_length, total)
 
 
 def istft(
@@ -150,10 +147,8 @@ def istft(
     total = (n_frames - 1) * hop_length + n_fft
     num = _overlap_add(frames, hop_length, total)
 
-    win_np = np.asarray(jax.device_get(window) if isinstance(window, jnp.ndarray) else window,
-                        dtype=np.float32)
-    den = _ola_window_sq_denominator(win_np.tobytes(), n_fft, hop_length, n_frames)
-    sig = num / jnp.asarray(np.where(den > 1e-11, den, 1.0))
+    den = _ola_window_sq_denominator(jnp.asarray(window), hop_length, n_frames)
+    sig = num / jnp.where(den > 1e-11, den, 1.0)
 
     if center:
         pad = n_fft // 2

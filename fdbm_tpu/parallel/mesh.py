@@ -1,0 +1,65 @@
+"""Device-mesh data parallelism.
+
+TPU-native replacement for the reference's Lightning DDP-over-NCCL
+(train.py:155-163): a 1-D ``jax.sharding.Mesh`` over the ``data`` axis with
+params replicated and the batch sharded.  Gradients are reduced by the
+all-reduce XLA inserts automatically when a jitted computation consumes a
+batch-sharded operand into replicated outputs — no explicit collectives are
+needed anywhere (the reference likewise only ever needs grad all-reduce;
+SURVEY.md section 2.7).
+
+On a multi-host pod this extends by calling ``jax.distributed.initialize()``
+before device enumeration; the mesh spans all global devices and ICI carries
+the reductions within a slice.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+
+
+def make_mesh(n_devices: Optional[int] = None, devices: Optional[Sequence] = None) -> Mesh:
+    devs = list(devices) if devices is not None else jax.devices()
+    if n_devices is not None:
+        if len(devs) < n_devices:
+            raise ValueError(f"Requested {n_devices} devices, have {len(devs)}")
+        devs = devs[:n_devices]
+    return Mesh(np.asarray(devs), (DATA_AXIS,))
+
+
+def shard_batch(mesh: Mesh, batch):
+    """Place a host batch (tuple of [B, ...] arrays) sharded on the data axis."""
+    sharding = NamedSharding(mesh, P(DATA_AXIS))
+    return jax.tree_util.tree_map(lambda a: jax.device_put(a, sharding), batch)
+
+
+def make_parallel_train_step(fdbm, mesh: Mesh, donate: bool = True):
+    """jit the FDBM train step over the mesh.
+
+    Params/opt-state/EMA are replicated; batches are sharded on their
+    leading axis. Returns ``step(state, batch, key) -> (state, metrics)``.
+    """
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P(DATA_AXIS))
+    return jax.jit(
+        fdbm.train_step,
+        in_shardings=(repl, (data, data), repl),
+        out_shardings=(repl, repl),
+        donate_argnums=(0,) if donate else (),
+    )
+
+
+def make_parallel_valid_step(fdbm, mesh: Mesh):
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P(DATA_AXIS))
+    return jax.jit(
+        fdbm.valid_step,
+        in_shardings=(repl, (data, data), repl),
+        out_shardings=repl,
+    )
