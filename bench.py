@@ -1,0 +1,82 @@
+"""Benchmark: audio-seconds enhanced per wall-second per chip.
+
+Measures the production inference path — the 30-step SDE-EI bridge sampler
+on the flagship TF-GridNet 5l32c100 generative model (the reference's
+default inference config: infer_folder.py N=30, config.yaml backbone) —
+with padded-batch inference (batch of utterances per jit call), on
+whatever accelerator JAX exposes (the driver runs this on one real TPU
+chip).
+
+Baseline note: the reference publishes no throughput numbers
+(BASELINE.md). `vs_baseline` is computed against an estimated reference
+operating point of 1.0 audio-second/sec/chip (RTF ~= 1.0) for the
+one-file-at-a-time 30-step PyTorch sampler on an A100 — consistent with
+published RTFs for 30-step score-based speech enhancement at 16 kHz
+(SGMSE+-class models). BASELINE.json's target is >=10x that.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from fdbm_tpu.model import FDBM, FDBMConfig
+
+    n_steps = 30
+    batch = 8
+    num_frames = 256  # 4.08 s of 16 kHz audio per utterance at hop 256
+    sr = 16000
+
+    cfg = FDBMConfig(
+        mode="generative",
+        backbone="tfgridnet_5l32c100",
+        bridge="sb",
+        noise_schedule="bb",
+        sampler_type="sde_ei",
+        N=n_steps,
+    )
+    fdbm = FDBM(cfg)
+    params = fdbm.init_params(jax.random.PRNGKey(0))
+
+    rng = np.random.default_rng(0)
+    length = (num_frames - 1) * cfg.hop_length
+    y_audio = jnp.asarray(rng.standard_normal((batch, length)).astype(np.float32) * 0.1)
+
+    # Full audio->audio production path: STFT + 30-step sampler + iSTFT in
+    # one fused device program (real-valued jit boundary).
+    @jax.jit
+    def enhance(params, y_audio, key):
+        return fdbm.enhance_batch(params, y_audio, key)
+
+    key = jax.random.PRNGKey(1)
+    # Warmup / compile
+    enhance(params, y_audio, key).block_until_ready()
+
+    iters = 5
+    t0 = time.perf_counter()
+    for i in range(iters):
+        out = enhance(params, y_audio, jax.random.fold_in(key, i))
+    out.block_until_ready()
+    dt = time.perf_counter() - t0
+
+    audio_seconds = iters * batch * length / sr
+    throughput = audio_seconds / dt  # audio-sec enhanced per wall-sec per chip
+
+    baseline = 1.0  # estimated reference RTF~1.0 (see module docstring)
+    print(json.dumps({
+        "metric": "audio_sec_enhanced_per_sec_per_chip_30step",
+        "value": round(throughput, 3),
+        "unit": "audio_s/s/chip",
+        "vs_baseline": round(throughput / baseline, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,258 @@
+"""Inference drivers: single utterance and padded-bucket folder sweep.
+
+Replaces the reference's one-file-at-a-time multi-GPU process pool
+(infer_single.py, infer_folder.py:156-232) with a TPU-friendly driver:
+
+* utterances are grouped into **length buckets** (frame count rounded up to
+  a bucket multiple) so each distinct jit shape compiles once;
+* each bucket batch runs the full audio->audio enhancement as one fused
+  device program (STFT + N-step sampler + iSTFT);
+* per-utterance normalisation / renormalisation and the reference's
+  clipping guard (scale by `clip_scale` when |x|>1; infer_single.py:98-99
+  uses 0.5, infer_folder.py:120-121 uses 0.95) happen on host;
+* multi-chip scale-out is per-process file sharding (shard_files), exactly
+  the reference's strategy, no inter-chip communication needed.
+
+Padding note: audio is reflect-padded to the bucket length and trimmed
+after enhancement.  The reference runs TF-GridNet at exact length (and
+zero-pads NCSN++ to x64 frames, util/other.py:76-90); bucketing introduces
+negligible tail-local deviation and is the >=10x batching lever on TPU.
+Set bucket_frames_multiple=1 for exact-shape parity.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+from glob import glob
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fdbm_tpu.model import FDBM
+from fdbm_tpu.utils.audio import read_wav, resample, write_wav
+
+
+def shard_files(files: Sequence[str], process_index: int, process_count: int) -> List[str]:
+    """Static split of a file list across processes (infer_folder.py:150-153)."""
+    return list(files[process_index::process_count])
+
+
+@dataclasses.dataclass
+class EnhanceStats:
+    files: int = 0
+    audio_seconds: float = 0.0
+    wall_seconds: float = 0.0
+    failures: int = 0
+
+    @property
+    def throughput(self) -> float:
+        return self.audio_seconds / self.wall_seconds if self.wall_seconds else 0.0
+
+
+class BucketedEnhancer:
+    """Batched, bucketed audio->audio enhancement with jit-shape caching."""
+
+    def __init__(
+        self,
+        fdbm: FDBM,
+        params,
+        sampler_type: Optional[str] = None,
+        N: Optional[int] = None,
+        batch_size: int = 8,
+        bucket_frames_multiple: int = 64,
+        sampler_kwargs: Optional[dict] = None,
+    ):
+        self.fdbm = fdbm
+        self.params = params
+        self.sampler_type = sampler_type
+        self.N = N
+        self.batch_size = batch_size
+        self.bucket_multiple = max(1, bucket_frames_multiple)
+        self.sampler_kwargs = sampler_kwargs or {}
+        self._jitted: Dict[int, object] = {}
+
+    # -- internals -----------------------------------------------------------
+
+    def _bucket_length(self, n_samples: int) -> int:
+        cfg = self.fdbm.cfg
+        frames = 1 + max(0, (n_samples - 1)) // cfg.hop_length
+        frames = max(frames, 1)
+        m = self.bucket_multiple
+        frames = -(-frames // m) * m
+        return (frames - 1) * cfg.hop_length + 1
+
+    def _get_fn(self, length: int):
+        fn = self._jitted.get(length)
+        if fn is None:
+            def enhance(params, y_audio, key):
+                return self.fdbm.enhance_batch(
+                    params, y_audio, key, sampler_type=self.sampler_type,
+                    N=self.N, **self.sampler_kwargs,
+                )
+
+            fn = jax.jit(enhance)
+            self._jitted[length] = fn
+        return fn
+
+    @staticmethod
+    def _normalise(y: np.ndarray, mode: str) -> Tuple[np.ndarray, float]:
+        if mode == "noisy":
+            norm = float(np.max(np.abs(y)))
+        elif mode == "std":
+            norm = float(np.std(y))
+        else:
+            norm = 1.0
+        norm = norm if norm != 0 else 1.0
+        return (y / norm).astype(np.float32), norm
+
+    # -- public --------------------------------------------------------------
+
+    def enhance_many(self, audios: Sequence[np.ndarray], key: jax.Array,
+                     clip_scale: float = 0.95) -> List[np.ndarray]:
+        """Enhance a list of 1-D float32 utterances; preserves order."""
+        cfg = self.fdbm.cfg
+        buckets: Dict[int, List[int]] = {}
+        for i, a in enumerate(audios):
+            buckets.setdefault(self._bucket_length(len(a)), []).append(i)
+
+        out: List[Optional[np.ndarray]] = [None] * len(audios)
+        for blen, idxs in sorted(buckets.items()):
+            fn = self._get_fn(blen)
+            for s in range(0, len(idxs), self.batch_size):
+                chunk = idxs[s : s + self.batch_size]
+                pad_to = len(chunk)
+                batch = np.zeros((pad_to, blen), np.float32)
+                norms = np.ones(pad_to, np.float32)
+                for j, i in enumerate(chunk):
+                    a, norm = self._normalise(audios[i], cfg.normalize)
+                    norms[j] = norm
+                    L = len(a)
+                    if L >= blen:
+                        batch[j] = a[:blen]
+                    else:
+                        # reflect-pad keeps tail statistics natural
+                        reps = np.concatenate([a, a[::-1]])
+                        tiled = np.tile(reps, -(-blen // len(reps)))[:blen]
+                        batch[j] = tiled
+                key, sub = jax.random.split(key)
+                enhanced = np.asarray(fn(self.params, jnp.asarray(batch), sub))
+                for j, i in enumerate(chunk):
+                    L = len(audios[i])
+                    x = enhanced[j, :L] * norms[j]
+                    if np.max(np.abs(x)) > 1.0:
+                        x = x * clip_scale  # clipping guard
+                    out[i] = x.astype(np.float32)
+        return out  # type: ignore[return-value]
+
+
+def enhance_folder(
+    fdbm: FDBM,
+    params,
+    test_dir: str,
+    enhanced_dir: str,
+    sampler_type: Optional[str] = None,
+    N: Optional[int] = None,
+    batch_size: int = 8,
+    keep_structure: bool = True,
+    target_sr: int = 16000,
+    seed: int = 0,
+    process_index: Optional[int] = None,
+    process_count: Optional[int] = None,
+    bucket_frames_multiple: int = 64,
+    sampler_kwargs: Optional[dict] = None,
+    progress: bool = True,
+) -> EnhanceStats:
+    """Enhance every wav under test_dir into enhanced_dir."""
+    files = sorted(
+        glob(os.path.join(test_dir, "**", "*.wav"), recursive=True)
+        + glob(os.path.join(test_dir, "**", "*.flac"), recursive=True)
+    )
+    pi = jax.process_index() if process_index is None else process_index
+    pc = jax.process_count() if process_count is None else process_count
+    files = shard_files(files, pi, pc)
+
+    enhancer = BucketedEnhancer(
+        fdbm, params, sampler_type=sampler_type, N=N, batch_size=batch_size,
+        bucket_frames_multiple=bucket_frames_multiple, sampler_kwargs=sampler_kwargs,
+    )
+    key = jax.random.PRNGKey(seed + pi)
+    stats = EnhanceStats()
+    t_start = time.perf_counter()
+
+    # Read everything we can; per-file fault tolerance like
+    # infer_folder.py:142-147 (skip + count failures, keep going).
+    todo: List[Tuple[str, np.ndarray]] = []
+    for path in files:
+        try:
+            audio, sr = read_wav(path)
+            audio = audio[0]
+            if sr != target_sr:
+                audio = resample(audio, sr, target_sr)
+            todo.append((path, audio))
+        except Exception as e:
+            print(f"[skip] {path}: {e}")
+            stats.failures += 1
+
+    # Sort by length for dense bucketing, enhance in chunks.
+    order = sorted(range(len(todo)), key=lambda i: len(todo[i][1]))
+    chunk_size = batch_size * 16
+    done = 0
+    for s in range(0, len(order), chunk_size):
+        idxs = order[s : s + chunk_size]
+        audios = [todo[i][1] for i in idxs]
+        key, sub = jax.random.split(key)
+        try:
+            enhanced = enhancer.enhance_many(audios, sub)
+        except Exception as e:
+            print(f"[skip chunk] {e}")
+            stats.failures += len(idxs)
+            continue
+        for i, x_hat in zip(idxs, enhanced):
+            path = todo[i][0]
+            rel = os.path.relpath(path, test_dir) if keep_structure else os.path.basename(path)
+            out_path = os.path.join(enhanced_dir, os.path.splitext(rel)[0] + ".wav")
+            os.makedirs(os.path.dirname(out_path), exist_ok=True)
+            if np.isnan(x_hat).any():
+                print(f"[skip] {path}: NaN output")
+                stats.failures += 1
+                continue
+            write_wav(out_path, x_hat, target_sr)
+            stats.files += 1
+            stats.audio_seconds += len(x_hat) / target_sr
+        done += len(idxs)
+        if progress:
+            print(f"enhanced {done}/{len(order)} files", flush=True)
+
+    stats.wall_seconds = time.perf_counter() - t_start
+    return stats
+
+
+def enhance_single(
+    fdbm: FDBM,
+    params,
+    noisy_file: str,
+    output_file: str,
+    sampler_type: Optional[str] = None,
+    N: Optional[int] = None,
+    target_sr: int = 16000,
+    seed: int = 0,
+    sampler_kwargs: Optional[dict] = None,
+) -> np.ndarray:
+    """Single-file enhancement (reference infer_single.py:53-107)."""
+    audio, sr = read_wav(noisy_file)
+    audio = audio[0]
+    if sr != target_sr:
+        audio = resample(audio, sr, target_sr)
+    enhancer = BucketedEnhancer(
+        fdbm, params, sampler_type=sampler_type, N=N, batch_size=1,
+        bucket_frames_multiple=1, sampler_kwargs=sampler_kwargs,
+    )
+    x_hat = enhancer.enhance_many([audio], jax.random.PRNGKey(seed),
+                                  clip_scale=0.5)[0]
+    os.makedirs(os.path.dirname(os.path.abspath(output_file)), exist_ok=True)
+    write_wav(output_file, x_hat, target_sr)
+    return x_hat

@@ -194,11 +194,18 @@ class FDBM:
     def init_params(self, key: jax.Array, batch_size: int = 1):
         f = self.cfg.n_fft // 2 + 1
         t_frames = self.cfg.num_frames
-        dummy = jnp.zeros((batch_size, 1, f, t_frames), jnp.complex64)
-        t = jnp.full((batch_size,), 0.5, jnp.float32)
-        if self.cfg.mode == "predictive":
-            return self.dnn.init(key, None, dummy)
-        return self.dnn.init(key, dummy, dummy, t)
+
+        # Jit the whole init: one compiled program instead of op-by-op
+        # dispatch, and complex dummies materialise on device only.
+        @jax.jit
+        def _init(key):
+            dummy = jnp.zeros((batch_size, 1, f, t_frames), jnp.complex64)
+            t = jnp.full((batch_size,), 0.5, jnp.float32)
+            if self.cfg.mode == "predictive":
+                return self.dnn.init(key, None, dummy)
+            return self.dnn.init(key, dummy, dummy, t)
+
+        return _init(key)
 
     def init_state(self, key: jax.Array, batch_size: int = 1) -> TrainState:
         params = self.init_params(key, batch_size)
@@ -305,12 +312,29 @@ class FDBM:
             return self.dnn.apply(params, None, y_spec)
         return bridge.sample(self.model_fn(params), y_spec, key, **kwargs)
 
+    def enhance_batch(self, params, y_audio: Array, key: jax.Array,
+                      sampler_type: Optional[str] = None,
+                      N: Optional[int] = None, **kwargs) -> Array:
+        """Fully-jittable audio->audio enhancement of a normalised batch.
+
+        [B, L] float32 in, [B, L] float32 out.  All complex intermediates
+        (STFT, sampler state) stay inside the computation — required on
+        backends where complex64 cannot cross the host/jit boundary, and
+        the efficient layout regardless (one fused device program per
+        padded-length bucket).
+        """
+        length = y_audio.shape[-1]
+        y_spec = self.audio_to_spec(y_audio)
+        if self.cfg.backbone.startswith("ncsnpp"):
+            y_spec = dsp.pad_spec(y_spec)
+        sample = self.enhance_spec(params, y_spec, key, sampler_type, N, **kwargs)
+        return self.spec_to_audio(sample[:, 0], length=length)
+
     def enhance_audio(self, params, y: np.ndarray, key: jax.Array,
                       sampler_type: Optional[str] = None,
                       N: Optional[int] = None, **kwargs) -> np.ndarray:
         """Enhance one utterance [L] (host convenience; see infer.py for the
         batched/bucketed production driver)."""
-        t_orig = y.shape[-1]
         if self.cfg.normalize == "noisy":
             norm = float(np.max(np.abs(y)))
         elif self.cfg.normalize == "std":
@@ -319,9 +343,5 @@ class FDBM:
             norm = 1.0
         norm = norm if norm != 0 else 1.0
         y_n = jnp.asarray(y[None, :] / norm, jnp.float32)
-        y_spec = self.audio_to_spec(y_n)
-        if self.cfg.backbone.startswith("ncsnpp"):
-            y_spec = dsp.pad_spec(y_spec)
-        sample = self.enhance_spec(params, y_spec, key, sampler_type, N, **kwargs)
-        x_hat = self.spec_to_audio(sample[:, 0], length=t_orig)
+        x_hat = self.enhance_batch(params, y_n, key, sampler_type, N, **kwargs)
         return np.asarray(x_hat[0]) * norm
