@@ -78,12 +78,11 @@ class BucketedEnhancer:
     # -- internals -----------------------------------------------------------
 
     def _bucket_length(self, n_samples: int) -> int:
-        cfg = self.fdbm.cfg
-        frames = 1 + max(0, (n_samples - 1)) // cfg.hop_length
-        frames = max(frames, 1)
-        m = self.bucket_multiple
-        frames = -(-frames // m) * m
-        return (frames - 1) * cfg.hop_length + 1
+        """Smallest multiple of (bucket_multiple * hop) >= n_samples, so a
+        bucket always covers the utterance and frame counts per bucket are
+        multiples of bucket_multiple (+1)."""
+        quantum = self.bucket_multiple * self.fdbm.cfg.hop_length
+        return max(quantum, -(-n_samples // quantum) * quantum)
 
     def _get_fn(self, length: int):
         fn = self._jitted.get(length)

@@ -24,12 +24,21 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 DATA_AXIS = "data"
 
 
-def make_mesh(n_devices: Optional[int] = None, devices: Optional[Sequence] = None) -> Mesh:
+def make_mesh(n_devices: Optional[int] = None, devices: Optional[Sequence] = None,
+              batch_size: Optional[int] = None) -> Mesh:
+    """1-D data mesh.  If ``batch_size`` is given and ``n_devices`` is not,
+    uses the largest device count that divides the global batch (a batch
+    must shard evenly across the data axis)."""
     devs = list(devices) if devices is not None else jax.devices()
     if n_devices is not None:
         if len(devs) < n_devices:
             raise ValueError(f"Requested {n_devices} devices, have {len(devs)}")
         devs = devs[:n_devices]
+    elif batch_size is not None:
+        n = len(devs)
+        while n > 1 and batch_size % n != 0:
+            n -= 1
+        devs = devs[:n]
     return Mesh(np.asarray(devs), (DATA_AXIS,))
 
 

@@ -175,7 +175,7 @@ class Trainer:
         os.makedirs(self.sample_dir, exist_ok=True)
         if snapshot:
             snapshot_code(log_dir)
-        self.mesh = make_mesh(n_devices)
+        self.mesh = make_mesh(n_devices, batch_size=data_cfg.batch_size)
         self.train_step = make_parallel_train_step(fdbm, self.mesh)
         self.valid_step = make_parallel_valid_step(fdbm, self.mesh)
         self.ckpt = CheckpointManager(

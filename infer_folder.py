@@ -1,0 +1,53 @@
+#!/usr/bin/env python
+"""Folder inference CLI (reference infer_folder.py): padded-bucket batched
+TPU enhancement of every wav/flac under test_dir.
+
+    python infer_folder.py -C configs/config_infer_folder.yaml [key=value...]
+
+Multi-chip/multi-host scale-out is per-process file sharding
+(jax.process_index/process_count), matching the reference's
+process-per-GPU strategy without any inter-device communication.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+from fdbm_tpu.config import load_config, parse_cli_overrides
+from fdbm_tpu.infer import enhance_folder
+from infer_single import load_model_from_ckpt
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("-C", "--config", required=True)
+    ap.add_argument("--slot", default="last")
+    ap.add_argument("--batch_size", type=int, default=8)
+    ap.add_argument("overrides", nargs="*")
+    args = ap.parse_args()
+
+    cfg = load_config(args.config, parse_cli_overrides(args.overrides))
+    fdbm, state = load_model_from_ckpt(cfg["ckpt"], slot=args.slot, overrides=cfg)
+
+    stats = enhance_folder(
+        fdbm, state.ema_params,
+        test_dir=cfg["test_dir"],
+        enhanced_dir=cfg["enhanced_dir"],
+        sampler_type=cfg.get("sampler_type"),
+        N=int(cfg.get("N", 30)),
+        batch_size=args.batch_size,
+        keep_structure=bool(cfg.get("keep_structure", True)),
+        sampler_kwargs=cfg.get("sampler_kwargs") or {},
+    )
+    print(json.dumps({
+        "files": stats.files,
+        "failures": stats.failures,
+        "audio_seconds": round(stats.audio_seconds, 2),
+        "wall_seconds": round(stats.wall_seconds, 2),
+        "audio_sec_per_sec": round(stats.throughput, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

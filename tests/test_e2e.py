@@ -1,0 +1,109 @@
+"""End-to-end smoke tests (SURVEY.md section 4, point 6): synthetic wav dir
+-> Trainer 1 epoch -> checkpoint written -> folder inference -> finite wavs.
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+import jax
+
+from fdbm_tpu.data import DataConfig
+from fdbm_tpu.infer import BucketedEnhancer, enhance_folder, enhance_single
+from fdbm_tpu.model import FDBM, FDBMConfig
+from fdbm_tpu.train import Trainer
+from fdbm_tpu.utils.audio import read_wav, write_wav
+
+SMALL = dict(backbone="tfgridnet_4l32c80", n_fft=128, hop_length=64, num_frames=16)
+
+
+@pytest.fixture(scope="module")
+def wav_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("e2e")
+    rng = np.random.default_rng(0)
+    for subset, n in [("train", 4), ("valid", 2), ("test", 3)]:
+        for kind in ("clean", "noisy"):
+            os.makedirs(root / subset / kind, exist_ok=True)
+        for i in range(n):
+            L = int(rng.integers(2000, 5000))
+            x = (0.3 * np.sin(2 * np.pi * 440 * np.arange(L) / 16000)).astype(np.float32)
+            n_ = 0.05 * rng.standard_normal(L).astype(np.float32)
+            write_wav(str(root / subset / "clean" / f"f{i}.wav"), x, 16000)
+            write_wav(str(root / subset / "noisy" / f"f{i}.wav"), x + n_, 16000)
+    return str(root)
+
+
+def test_train_eval_infer_cycle(wav_root, tmp_path):
+    cfg = FDBMConfig(mode="generative", N=2, loss_type="data_prediction",
+                     scheduler_config={"scheduler": "fixed"}, **SMALL)
+    fdbm = FDBM(cfg)
+    data_cfg = DataConfig(base_dir=wav_root, batch_size=2, num_workers=1,
+                          n_fft=SMALL["n_fft"], hop_length=SMALL["hop_length"],
+                          num_frames=SMALL["num_frames"])
+    log_dir = str(tmp_path / "run")
+    trainer = Trainer(fdbm, data_cfg, log_dir, max_steps=3, max_epochs=2,
+                      num_eval_files=2, save_ckpt_interval=0, snapshot=False)
+    trainer.fit(resume=False)
+
+    # checkpoint written
+    assert os.path.isdir(os.path.join(log_dir, "checkpoints", "last"))
+    # metrics logged
+    lines = open(os.path.join(log_dir, "metrics.jsonl")).read().strip().splitlines()
+    assert lines
+    recs = [json.loads(l) for l in lines]
+    assert any("valid_loss" in r for r in recs)
+    assert any("si_sdr" in r for r in recs)
+    # sample wavs dumped
+    samples = os.listdir(os.path.join(log_dir, "valid_samples"))
+    assert any(s.endswith("_enh.wav") for s in samples)
+
+    # folder inference from the trained state
+    from fdbm_tpu.checkpoint import CheckpointManager
+
+    state = fdbm.init_state(jax.random.PRNGKey(0))
+    mgr = CheckpointManager(os.path.join(log_dir, "checkpoints"))
+    abstract = jax.tree_util.tree_map(
+        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), state)
+    state = mgr.restore("last", abstract)
+    assert int(state.step) >= 2
+
+    enhanced_dir = str(tmp_path / "enhanced")
+    stats = enhance_folder(
+        fdbm, state.ema_params,
+        test_dir=os.path.join(wav_root, "test", "noisy"),
+        enhanced_dir=enhanced_dir, N=2, batch_size=2,
+        bucket_frames_multiple=16, progress=False,
+    )
+    assert stats.files == 3 and stats.failures == 0
+    for f in os.listdir(enhanced_dir):
+        audio, sr = read_wav(os.path.join(enhanced_dir, f))
+        assert np.all(np.isfinite(audio))
+        assert np.max(np.abs(audio)) <= 1.0 + 1e-6
+
+
+def test_enhance_single_writes_wav(wav_root, tmp_path):
+    cfg = FDBMConfig(mode="generative", N=2, **SMALL)
+    fdbm = FDBM(cfg)
+    state = fdbm.init_state(jax.random.PRNGKey(0))
+    noisy = os.path.join(wav_root, "test", "noisy", "f0.wav")
+    out = str(tmp_path / "enh.wav")
+    x_hat = enhance_single(fdbm, state.ema_params, noisy, out, N=2)
+    assert os.path.exists(out)
+    orig, _ = read_wav(noisy)
+    assert len(x_hat) == orig.shape[-1]
+
+
+def test_bucketed_enhancer_orders_and_lengths(wav_root):
+    cfg = FDBMConfig(mode="generative", N=1, **SMALL)
+    fdbm = FDBM(cfg)
+    state = fdbm.init_state(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(1)
+    audios = [rng.standard_normal(L).astype(np.float32) * 0.1
+              for L in (1500, 4000, 2500, 4000)]
+    enh = BucketedEnhancer(fdbm, state.ema_params, batch_size=2,
+                           bucket_frames_multiple=8)
+    outs = enh.enhance_many(audios, jax.random.PRNGKey(0))
+    assert [len(o) for o in outs] == [len(a) for a in audios]
+    assert all(np.all(np.isfinite(o)) for o in outs)
