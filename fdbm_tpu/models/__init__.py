@@ -10,5 +10,6 @@ BackboneRegistry: Registry = Registry("Backbone")
 
 # Populate the registry.
 from fdbm_tpu.models import tfgridnet as _tfgridnet  # noqa: E402,F401
+from fdbm_tpu.models import ncsnpp as _ncsnpp  # noqa: E402,F401
 
 __all__ = ["BackboneRegistry"]
