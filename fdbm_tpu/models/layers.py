@@ -91,6 +91,10 @@ class BiLSTM(nn.Module):
     hidden: int
     dtype: Dtype = jnp.float32
     unroll: int = 4
+    # Pallas recurrence kernel (forward-only, no autodiff): used on the
+    # inference/sampling path where it compiles ~300x faster than the XLA
+    # scan on the target toolchain and keeps the recurrent matmul in VMEM.
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
@@ -106,6 +110,12 @@ class BiLSTM(nn.Module):
         w_ih = self.param("w_ih", uinit, (2, d, 4 * h))
         w_hh = self.param("w_hh", uinit, (2, h, 4 * h))
         bias = self.param("bias", uinit, (2, 4 * h))
+
+        if self.use_pallas:
+            from fdbm_tpu.ops.lstm import bilstm_pallas
+
+            return bilstm_pallas(x.astype(jnp.float32), w_ih, w_hh, bias
+                                 ).astype(self.dtype)
 
         dt = self.dtype
         xf = x.astype(dt)

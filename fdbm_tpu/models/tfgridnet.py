@@ -50,6 +50,7 @@ class _RnnPath(nn.Module):
     emb_dim: int
     hidden: int
     dtype: Dtype = jnp.float32
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x: Array, seq_axis: int) -> Array:
@@ -70,7 +71,8 @@ class _RnnPath(nn.Module):
         # [B, other, L, ks, C] -> [B*other, L, ks*C]
         seqs = windows.reshape(b * other, L, ks * c)
 
-        out = BiLSTM(hidden=self.hidden, dtype=self.dtype, name="bilstm")(seqs)
+        out = BiLSTM(hidden=self.hidden, dtype=self.dtype,
+                     use_pallas=self.use_pallas, name="bilstm")(seqs)
 
         # ConvTranspose1d(2H -> C, kernel ks, stride 1) == dense to [ks, C]
         # then overlap-add of the ks taps (output length L+ks-1 == seq).
@@ -123,6 +125,7 @@ class GridNetBlock(nn.Module):
     n_head: int = 4
     qk_output_channel: int = 2
     dtype: Dtype = jnp.float32
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
@@ -133,8 +136,10 @@ class GridNetBlock(nn.Module):
         d = c // self.n_head
 
         xp = jnp.pad(x, ((0, 0), (olp, olp), (olp, olp), (0, 0)))
-        xp = _RnnPath(c, self.hidden, self.dtype, name="intra")(xp, seq_axis=2)
-        xp = _RnnPath(c, self.hidden, self.dtype, name="inter")(xp, seq_axis=1)
+        xp = _RnnPath(c, self.hidden, self.dtype, self.use_pallas,
+                      name="intra")(xp, seq_axis=2)
+        xp = _RnnPath(c, self.hidden, self.dtype, self.use_pallas,
+                      name="inter")(xp, seq_axis=1)
         inter = xp[:, olp : olp + old_t, olp : olp + old_q, :]
 
         # ---- full-band frame self-attention over T -----------------------
@@ -184,6 +189,7 @@ class TFGridNet(nn.Module):
     time_conditioned: bool = True
     fourier_scale: float = 16.0
     dtype: Dtype = jnp.float32
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x: Array, y: Array, t: Array = None) -> Array:
@@ -217,7 +223,7 @@ class TFGridNet(nn.Module):
             h = GridNetBlock(
                 emb_dim=c, hidden=self.hidden, n_head=self.n_head,
                 qk_output_channel=self.qk_output_channel, dtype=self.dtype,
-                name=f"block_{i}",
+                use_pallas=self.use_pallas, name=f"block_{i}",
             )(h)
 
         out = nn.ConvTranspose(
@@ -241,6 +247,7 @@ def _make_variant(n_layers, emb_dim, hidden, time_conditioned, **kwargs):
         n_layers=n_layers, emb_dim=emb_dim, hidden=hidden,
         time_conditioned=time_conditioned,
         dtype=kwargs.get("dtype", jnp.float32),
+        use_pallas=kwargs.get("use_pallas", False),
     )
 
 
