@@ -97,10 +97,14 @@ class SpecsDataset:
         return max(1, n // 200) if self.cfg.dummy and n else n
 
     def load_item(self, i: int) -> Tuple[np.ndarray, np.ndarray]:
+        target_len = self.cfg.target_len
+        # Fast path: fused native decode+crop+normalise (GIL-free C++).
+        native = self._load_item_native(i, target_len)
+        if native is not None:
+            return native
         x, _ = read_wav(self.clean_files[i])
         y, _ = read_wav(self.noisy_files[i])
         x, y = x[0], y[0]
-        target_len = self.cfg.target_len
         current_len = x.shape[-1]
         pad = max(target_len - current_len, 0)
         if pad == 0:
@@ -128,6 +132,36 @@ class SpecsDataset:
         if normfac == 0:
             normfac = 1.0
         return (x / normfac).astype(np.float32), (y / normfac).astype(np.float32)
+
+    def _load_item_native(self, i: int, target_len: int):
+        try:
+            from fdbm_tpu.ops.native import load_crop_pair_native, native_available
+            from fdbm_tpu.ops.native.wavio import get_lib
+        except Exception:
+            return None
+        if not native_available():
+            return None
+        # Random crop start must come from the same host RNG regardless of
+        # which path loads the data.
+        import ctypes
+
+        lib = get_lib()
+        sr = ctypes.c_int()
+        ch = ctypes.c_int()
+        frames = ctypes.c_longlong()
+        bits = ctypes.c_int()
+        if lib.wav_info(self.clean_files[i].encode(), ctypes.byref(sr),
+                        ctypes.byref(ch), ctypes.byref(frames),
+                        ctypes.byref(bits)) != 0:
+            return None
+        current_len = int(frames.value)
+        if current_len > target_len and self.shuffle_spec:
+            start = int(self.rng.uniform(0, current_len - target_len))
+        else:
+            start = -1  # centre crop / pad
+        return load_crop_pair_native(
+            self.clean_files[i], self.noisy_files[i], target_len, start,
+            self.cfg.normalize)
 
 
 class BatchLoader:

@@ -109,7 +109,9 @@ def lstm_forward_pallas(xp: Array, w_hh: Array, reverse: bool = False) -> Array:
                 w_hh[:, gi * hidden : (gi + 1) * hidden])
         w_hh = w
 
-    tile_b = min(_round_up(b, 8), 256)
+    # VMEM budget: 2 x (chunk_s*tile_b*4H) gate blocks + 2 x out blocks +
+    # carry + weights must stay under ~16MB; tile_b=128 at H<=128 fits.
+    tile_b = min(_round_up(b, 8), 128)
     bp = _round_up(b, tile_b)
     chunk_s = 16
     sp = _round_up(s_len, chunk_s)

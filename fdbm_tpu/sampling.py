@@ -52,6 +52,11 @@ class Bridge:
     T: float = 1.0
     sampler_type: str = "ode_ei"
     sampling_eps: float = 1e-4
+    # Fully unroll sampler loops up to this many steps.  On toolchains
+    # where XLA while-loops compile pathologically slowly (minutes each),
+    # straight-line code is far cheaper to compile; at inference the body
+    # is re-used N times either way at runtime.
+    unroll_threshold: int = 64
 
     @classmethod
     def create(cls, bridge: str, N: int = 5, T: float = 1.0,
@@ -119,7 +124,8 @@ class Bridge:
                 + wy.astype(jnp.complex64) * y
             return x, None
 
-        x, _ = lax.scan(step, x0, (w_xt, w_s, w_y, t_prev))
+        unroll = self.N if self.N <= self.unroll_threshold else 1
+        x, _ = lax.scan(step, x0, (w_xt, w_s, w_y, t_prev), unroll=unroll)
         return x
 
     def sde_sampler_ei(self, model_fn: ModelFn, y: Array, key: jax.Array) -> Array:
@@ -141,7 +147,9 @@ class Bridge:
                 + wz.astype(jnp.complex64) * z
             return x, None
 
-        x, _ = lax.scan(step, x0, (w_xt, w_s, w_z, t_prev, step_keys))
+        unroll = self.N if self.N <= self.unroll_threshold else 1
+        x, _ = lax.scan(step, x0, (w_xt, w_s, w_z, t_prev, step_keys),
+                        unroll=unroll)
         return x
 
     def pc_sampler(
@@ -221,7 +229,10 @@ class Bridge:
             x, x_mean = predictor_update(x, t_vec, stepsize, kp)
             return (x, x_mean), None
 
-        (x, x_mean), _ = lax.scan(step, (x0, x0), (timesteps, stepsizes, step_keys))
+        unroll = self.N if self.N <= self.unroll_threshold else 1
+        (x, x_mean), _ = lax.scan(step, (x0, x0),
+                                  (timesteps, stepsizes, step_keys),
+                                  unroll=unroll)
         return x_mean if denoise else x
 
     def ode_sampler_int(
