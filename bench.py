@@ -30,7 +30,7 @@ def main():
     from fdbm_tpu.model import FDBM, FDBMConfig
 
     n_steps = 30
-    batch = 8
+    batch = 4
     num_frames = 256  # 4.08 s of 16 kHz audio per utterance at hop 256
     sr = 16000
 
@@ -59,7 +59,7 @@ def main():
     # Warmup / compile
     enhance(params, y_audio, key).block_until_ready()
 
-    iters = 5
+    iters = 3
     t0 = time.perf_counter()
     for i in range(iters):
         out = enhance(params, y_audio, jax.random.fold_in(key, i))

@@ -157,3 +157,42 @@ def mean_std(data: np.ndarray):
     data = np.asarray(data)
     data = data[~np.isnan(data)]
     return float(np.mean(data)), float(np.std(data))
+
+
+def mean_conf_int(data, confidence: float = 0.95):
+    """Mean and half-width confidence interval (reference other.py:34-39)."""
+    import scipy.stats
+
+    a = 1.0 * np.asarray(data)
+    n = len(a)
+    m, se = np.mean(a), scipy.stats.sem(a)
+    h = se * scipy.stats.t.ppf((1 + confidence) / 2.0, n - 1)
+    return float(m), float(h)
+
+
+def hp_filter(signal: np.ndarray, cut_off: float = 80, order: int = 10,
+              sr: int = 16000) -> np.ndarray:
+    """High-pass filter used in evaluation preprocessing
+    (reference other.py:58-62)."""
+    from scipy.signal import butter, sosfilt
+
+    factor = cut_off / sr * 2
+    sos = butter(order, factor, "hp", output="sos")
+    return sosfilt(sos, signal)
+
+
+def print_metrics(x, y, x_hat_list, labels, sr: int = 16000) -> None:
+    """Console metric comparison (reference other.py:98-107); PESQ prints
+    only if the optional pesq package is importable."""
+    def fmt(ref, deg):
+        parts = []
+        p = pesq_wb(sr, ref, deg)
+        if p is not None:
+            parts.append(f"PESQ: {p:.2f}")
+        parts.append(f"ESTOI: {estoi(ref, deg, sr):.2f}")
+        parts.append(f"SI-SDR: {si_sdr(ref, deg):.2f}")
+        return ", ".join(parts)
+
+    print(f"Mixture:  {fmt(x, y)}")
+    for label, x_hat in zip(labels, x_hat_list):
+        print(f"{label}: {fmt(x, x_hat)}")
