@@ -4,22 +4,23 @@ Motivation: on the target TPU toolchain, XLA compiles `lax.scan`/while
 loops pathologically slowly (minutes per scan), and TF-GridNet runs ten
 BiLSTM scans per forward.  A Pallas kernel runs the *whole* sequence loop
 inside one Mosaic kernel: compile time drops from minutes to <1s and the
-recurrent matmul stays resident in VMEM next to the MXU.
+recurrent weights + carry stay resident in VMEM next to the MXU.
 
-Replaces the recurrent half of `torch.nn.LSTM` (reference
-fdbm/backbones/tfgridnet.py:257-276): the input projection
-``x @ W_ih + b`` for all timesteps is a single large MXU matmul done
-*outside* the kernel (XLA excels at it); the kernel consumes the
-pre-projected gates stream.
+Replaces the recurrent core of `torch.nn.LSTM` (reference
+fdbm/backbones/tfgridnet.py:257-276).  Both the input projection
+``x @ W_ih + b`` and the recurrence run *inside* the kernel, per sequence
+chunk — the [S, B, 4H] gate stream is never materialised in HBM (4x less
+memory traffic than projecting outside).
 
 Grid layout: (batch_tiles, seq_chunks) with the sequence dimension marked
 "arbitrary" (sequential) so the (h, c) carry lives in VMEM scratch across
-chunk steps; Pallas double-buffers the per-chunk gate blocks from HBM
+chunk steps; Pallas double-buffers the per-chunk input blocks from HBM
 automatically.
 
 Gate order is (i, f, g, o), matching torch and models/layers.BiLSTM.
-Hidden sizes are zero-padded to the 128-lane boundary; zero-padded gate
-columns self-consistently produce zero hidden state (sigmoid(0)*tanh(0)).
+Hidden/input sizes are zero-padded to the 128-lane boundary; zero-padded
+gate columns self-consistently produce zero hidden state
+(sigmoid(0)*tanh(0) == 0).
 
 Forward-only: use for inference/sampling. Training uses the lax.scan
 implementation in models/layers.py (same parameters, autodiff-friendly).
@@ -44,23 +45,37 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def _lstm_kernel(xp_ref, whh_ref, out_ref, h_scr, c_scr, *, chunk_s: int,
-                 hidden: int):
+def _use_interpret() -> bool:
+    # Pallas TPU kernels run in interpreter mode on CPU (tests/dryrun).
+    return jax.default_backend() != "tpu"
+
+
+def _lstm_kernel(x_ref, w_ih_ref, w_hh_ref, bias_ref, out_ref, h_scr, c_scr,
+                 *, chunk_s: int, hidden: int):
     """One (b_tile, s_chunk) grid step: advance the recurrence chunk_s steps.
 
-    xp_ref:  [chunk_s, TILE_B, 4H]  pre-projected gates (x @ W_ih + b)
-    whh_ref: [H, 4H]                recurrent weights
-    out_ref: [chunk_s, TILE_B, H]   hidden states
-    h_scr/c_scr: [TILE_B, H]        carry, persistent across s_chunks
+    x_ref:    [chunk_s, TILE_B, D]   raw inputs
+    w_ih_ref: [D, 4H]; w_hh_ref: [H, 4H]; bias_ref: [1, 4H]
+    out_ref:  [chunk_s, TILE_B, H]   hidden states
+    h_scr/c_scr: [TILE_B, H]         carry, persistent across s_chunks
     """
     @pl.when(pl.program_id(1) == 0)
     def _():
         h_scr[:] = jnp.zeros_like(h_scr)
         c_scr[:] = jnp.zeros_like(c_scr)
 
-    whh = whh_ref[:]
+    # Project the whole chunk's inputs in one MXU matmul.
+    tile_b = x_ref.shape[1]
+    d = x_ref.shape[2]
+    xg = jnp.dot(
+        x_ref[:].reshape(chunk_s * tile_b, d), w_ih_ref[:],
+        preferred_element_type=jnp.float32,
+    ) + bias_ref[0]
+    xg = xg.reshape(chunk_s, tile_b, 4 * hidden)
+
+    whh = w_hh_ref[:]
     for s in range(chunk_s):
-        gates = xp_ref[s] + jnp.dot(
+        gates = xg[s] + jnp.dot(
             h_scr[:], whh, preferred_element_type=jnp.float32)
         i = jax.nn.sigmoid(gates[:, 0 * hidden : 1 * hidden])
         f = jax.nn.sigmoid(gates[:, 1 * hidden : 2 * hidden])
@@ -73,59 +88,67 @@ def _lstm_kernel(xp_ref, whh_ref, out_ref, h_scr, c_scr, *, chunk_s: int,
         out_ref[s] = h
 
 
-def _use_interpret() -> bool:
-    # Pallas TPU kernels run in interpreter mode on CPU (tests/dryrun).
-    return jax.default_backend() != "tpu"
+def _pad_gate_cols(w: Array, hidden: int, hp: int) -> Array:
+    """Pad each of the 4 gate column blocks from `hidden` to `hp`."""
+    if hp == hidden:
+        return w
+    rows = w.shape[0]
+    out = jnp.zeros((rows, 4 * hp), w.dtype)
+    for gi in range(4):
+        out = out.at[:, gi * hp : gi * hp + hidden].set(
+            w[:, gi * hidden : (gi + 1) * hidden])
+    return out
 
 
 @functools.partial(jax.jit, static_argnames=("reverse",))
-def lstm_forward_pallas(xp: Array, w_hh: Array, reverse: bool = False) -> Array:
-    """Run an LSTM over pre-projected gates.
+def lstm_forward_pallas(x: Array, w_ih: Array, w_hh: Array, bias: Array,
+                        reverse: bool = False) -> Array:
+    """Run one LSTM direction over raw inputs.
 
     Args:
-      xp:   [S, B, 4H] float32 — x @ W_ih + b for every step.
-      w_hh: [H, 4H] float32 recurrent weights.
-      reverse: process the sequence back-to-front (for the backward
-        direction of a BiLSTM); output is returned in original time order.
+      x:    [S, B, D] float32 inputs.
+      w_ih: [D, 4H]; w_hh: [H, 4H]; bias: [4H]  (gate order i,f,g,o).
+      reverse: process the sequence back-to-front; output is returned in
+        original time order.
 
     Returns:
       [S, B, H] hidden states.
     """
-    s_len, b, four_h = xp.shape
-    hidden = four_h // 4
+    s_len, b, d = x.shape
+    hidden = w_hh.shape[0]
     if reverse:
-        xp = jnp.flip(xp, axis=0)
+        x = jnp.flip(x, axis=0)
 
-    # Pad hidden to the lane boundary; pad each gate segment separately so
-    # the (i,f,g,o) layout stays contiguous per gate.
     hp = _round_up(hidden, LANE)
+    dp = _round_up(d, LANE)
+    w_ih_p = _pad_gate_cols(w_ih, hidden, hp)
+    w_hh_p = _pad_gate_cols(w_hh, hidden, hp)
+    bias_p = _pad_gate_cols(bias[None, :], hidden, hp)
+    if dp != d:
+        w_ih_p = jnp.pad(w_ih_p, ((0, dp - d), (0, 0)))
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, dp - d)))
     if hp != hidden:
-        segs = jnp.split(xp, 4, axis=-1)
-        zpad = jnp.zeros((s_len, b, hp - hidden), xp.dtype)
-        xp = jnp.concatenate([jnp.concatenate([sg, zpad], -1) for sg in segs], -1)
-        w = jnp.zeros((hp, 4 * hp), w_hh.dtype)
-        for gi in range(4):
-            w = w.at[:hidden, gi * hp : gi * hp + hidden].set(
-                w_hh[:, gi * hidden : (gi + 1) * hidden])
-        w_hh = w
+        w_hh_p = jnp.pad(w_hh_p, ((0, hp - hidden), (0, 0)))
 
-    # VMEM budget: 2 x (chunk_s*tile_b*4H) gate blocks + 2 x out blocks +
-    # carry + weights must stay under ~16MB; tile_b=128 at H<=128 fits.
     tile_b = min(_round_up(b, 8), 128)
     bp = _round_up(b, tile_b)
     chunk_s = 16
     sp = _round_up(s_len, chunk_s)
     if bp != b or sp != s_len:
-        xp = jnp.pad(xp, ((0, sp - s_len), (0, bp - b), (0, 0)))
+        x = jnp.pad(x, ((0, sp - s_len), (0, bp - b), (0, 0)))
 
     grid = (bp // tile_b, sp // chunk_s)
     out = pl.pallas_call(
         functools.partial(_lstm_kernel, chunk_s=chunk_s, hidden=hp),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((chunk_s, tile_b, 4 * hp), lambda i, j: (j, i, 0),
+            pl.BlockSpec((chunk_s, tile_b, dp), lambda i, j: (j, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((dp, 4 * hp), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((hp, 4 * hp), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4 * hp), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((chunk_s, tile_b, hp), lambda i, j: (j, i, 0),
@@ -139,7 +162,8 @@ def lstm_forward_pallas(xp: Array, w_hh: Array, reverse: bool = False) -> Array:
             dimension_semantics=("parallel", "arbitrary"),
         ),
         interpret=_use_interpret(),
-    )(xp.astype(jnp.float32), w_hh.astype(jnp.float32))
+    )(x.astype(jnp.float32), w_ih_p.astype(jnp.float32),
+      w_hh_p.astype(jnp.float32), bias_p.astype(jnp.float32))
 
     out = out[:s_len, :b, :hidden]
     if reverse:
@@ -159,10 +183,9 @@ def bilstm_pallas(x: Array, w_ih: Array, w_hh: Array, bias: Array) -> Array:
     Returns:
       [B, S, 2H] — same contract as models.layers.BiLSTM.
     """
-    # Input projections for both directions in one MXU matmul each.
-    xp = jnp.einsum("bsd,zdg->zsbg", x, w_ih) + bias[:, None, None, :]
-    fwd = lstm_forward_pallas(xp[0], w_hh[0], reverse=False)
-    bwd = lstm_forward_pallas(xp[1], w_hh[1], reverse=True)
+    xs = jnp.swapaxes(x, 0, 1)  # [S, B, D]
+    fwd = lstm_forward_pallas(xs, w_ih[0], w_hh[0], bias[0], reverse=False)
+    bwd = lstm_forward_pallas(xs, w_ih[1], w_hh[1], bias[1], reverse=True)
     # [S, B, H] -> [B, S, H]
     fwd = jnp.swapaxes(fwd, 0, 1)
     bwd = jnp.swapaxes(bwd, 0, 1)

@@ -161,6 +161,7 @@ class Trainer:
         seed: int = 0,
         config_blob: Optional[Dict[str, Any]] = None,
         snapshot: bool = True,
+        profile_steps: Optional[tuple] = None,
     ):
         self.fdbm = fdbm
         self.data_cfg = data_cfg
@@ -183,6 +184,8 @@ class Trainer:
             save_interval=save_ckpt_interval, config=config_blob or {},
         )
         self.logger = MetricsLogger(log_dir)
+        # (start_step, end_step) window traced with jax.profiler
+        self.profile_steps = profile_steps
 
     def fit(self, resume: bool = True, init_params=None) -> None:
         fdbm = self.fdbm
@@ -215,8 +218,17 @@ class Trainer:
             train_set.sample_data_per_epoch()
             for batch in train_loader:
                 key, sub = jax.random.split(key)
+                if self.profile_steps and step + 1 == self.profile_steps[0]:
+                    from fdbm_tpu.utils import profiling as _prof
+
+                    jax.profiler.start_trace(os.path.join(self.log_dir, "profile"))
                 state, metrics = self.train_step(state, shard_batch(self.mesh, batch), sub)
                 step = int(state.step)
+                if self.profile_steps and step == self.profile_steps[1]:
+                    jax.tree_util.tree_map(
+                        lambda x: x.block_until_ready(),
+                        metrics)
+                    jax.profiler.stop_trace()
                 if step % self.log_every == 0:
                     now = time.perf_counter()
                     scalars = {k: float(v) for k, v in metrics.items()}

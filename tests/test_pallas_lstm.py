@@ -59,14 +59,17 @@ def test_pallas_bilstm_matches_scan():
 
 def test_pallas_unidirectional_reverse():
     key = jax.random.PRNGKey(2)
-    h, b, s = 16, 3, 21
+    d, h, b, s = 12, 16, 3, 21
+    w_ih = jax.random.uniform(key, (d, 4 * h), jnp.float32, -0.25, 0.25)
     w_hh = jax.random.uniform(key, (h, 4 * h), jnp.float32, -0.25, 0.25)
-    xp = jax.random.normal(jax.random.PRNGKey(3), (s, b, 4 * h))
+    bias = jnp.zeros((4 * h,))
+    x = jax.random.normal(jax.random.PRNGKey(3), (s, b, d))
 
-    fwd = lstm_forward_pallas(xp, w_hh, reverse=False)
-    bwd = lstm_forward_pallas(xp, w_hh, reverse=True)
+    fwd = lstm_forward_pallas(x, w_ih, w_hh, bias, reverse=False)
+    bwd = lstm_forward_pallas(x, w_ih, w_hh, bias, reverse=True)
     # reverse(run(reverse(x))) == run_reverse(x)
-    fwd_of_flipped = lstm_forward_pallas(jnp.flip(xp, 0), w_hh, reverse=False)
+    fwd_of_flipped = lstm_forward_pallas(jnp.flip(x, 0), w_ih, w_hh, bias,
+                                         reverse=False)
     np.testing.assert_allclose(np.asarray(bwd), np.asarray(jnp.flip(fwd_of_flipped, 0)),
                                atol=1e-6)
     assert not np.allclose(np.asarray(fwd), np.asarray(bwd))
