@@ -127,6 +127,10 @@ class FDBMConfig:
     # numerics
     param_dtype: str = "float32"
     compute_dtype: str = "float32"
+    # dtype for the sampling/enhance path; "" inherits compute_dtype.
+    # bfloat16 roughly doubles MXU throughput on TPU at a small numeric
+    # cost (norm statistics and the final complex output stay fp32).
+    inference_dtype: str = ""
 
     @classmethod
     def from_dict(cls, d: Dict[str, Any]) -> "FDBMConfig":
@@ -151,8 +155,10 @@ class FDBM:
         # parameters; forward-only). Enabled on TPU where it cuts compile
         # time by orders of magnitude and keeps the recurrence in VMEM.
         use_pallas = jax.default_backend() == "tpu"
+        inf_dtype = (jnp.bfloat16 if cfg.inference_dtype == "bfloat16"
+                     else dtype) if cfg.inference_dtype != "float32" else jnp.float32
         self.dnn_sample = BackboneRegistry.get_by_name(cfg.backbone)(
-            dtype=dtype, use_pallas=use_pallas)
+            dtype=inf_dtype, use_pallas=use_pallas)
         self.bridge = Bridge.create(
             cfg.bridge, N=cfg.N, T=cfg.T, sampler_type=cfg.sampler_type,
             sampling_eps=cfg.sampling_eps, noise_schedule=cfg.noise_schedule,
@@ -247,11 +253,15 @@ class FDBM:
         xt = bridge.prior_sampling(key, y)
         times = bridge.time_grid()
         batch = y.shape[0]
+        # Steps 1..N-1 carry no gradient (stop_gradient below), so they can
+        # use the fast forward-only path; only the final call needs autodiff.
         model = self.model_fn(params)
+        model_nograd = self.model_fn(params, fast=True)
         n = bridge.N
         for i in range(n):
             t_prev, t_curr = times[i], times[i + 1]
-            est = model(xt, y, jnp.full((batch,), t_prev, jnp.float32))
+            fn = model if i == n - 1 else model_nograd
+            est = fn(xt, y, jnp.full((batch,), t_prev, jnp.float32))
             if i < n - 1:
                 est = jax.lax.stop_gradient(est)
                 xt = jax.lax.stop_gradient(xt)
