@@ -150,11 +150,16 @@ class FDBM:
                 f"(config_predictive.yaml)."
             )
         dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
-        self.dnn = BackboneRegistry.get_by_name(cfg.backbone)(dtype=dtype)
+        on_tpu = jax.default_backend() == "tpu"
+        # Training backbone: the differentiable Pallas LSTM (custom VJP)
+        # replaces the XLA scan on TPU (fast compile + VMEM-resident
+        # recurrence for both passes).
+        self.dnn = BackboneRegistry.get_by_name(cfg.backbone)(
+            dtype=dtype, use_pallas_train=on_tpu)
         # Sampling-path twin with the Pallas LSTM recurrence kernel (same
         # parameters; forward-only). Enabled on TPU where it cuts compile
         # time by orders of magnitude and keeps the recurrence in VMEM.
-        use_pallas = jax.default_backend() == "tpu"
+        use_pallas = on_tpu
         inf_dtype = (jnp.bfloat16 if cfg.inference_dtype == "bfloat16"
                      else dtype) if cfg.inference_dtype != "float32" else jnp.float32
         self.dnn_sample = BackboneRegistry.get_by_name(cfg.backbone)(

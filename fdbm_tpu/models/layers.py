@@ -95,6 +95,9 @@ class BiLSTM(nn.Module):
     # inference/sampling path where it compiles ~300x faster than the XLA
     # scan on the target toolchain and keeps the recurrent matmul in VMEM.
     use_pallas: bool = False
+    # Differentiable Pallas kernel (custom VJP with a reverse-sweep
+    # backward kernel): used on the TPU training path.
+    use_pallas_train: bool = False
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
@@ -111,6 +114,11 @@ class BiLSTM(nn.Module):
         w_hh = self.param("w_hh", uinit, (2, h, 4 * h))
         bias = self.param("bias", uinit, (2, 4 * h))
 
+        if self.use_pallas_train:
+            from fdbm_tpu.ops.lstm import bilstm_pallas_train
+
+            return bilstm_pallas_train(x.astype(jnp.float32), w_ih, w_hh, bias
+                                       ).astype(self.dtype)
         if self.use_pallas:
             from fdbm_tpu.ops.lstm import bilstm_pallas
 

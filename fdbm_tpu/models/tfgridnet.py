@@ -51,6 +51,7 @@ class _RnnPath(nn.Module):
     hidden: int
     dtype: Dtype = jnp.float32
     use_pallas: bool = False
+    use_pallas_train: bool = False
 
     @nn.compact
     def __call__(self, x: Array, seq_axis: int) -> Array:
@@ -72,7 +73,9 @@ class _RnnPath(nn.Module):
         seqs = windows.reshape(b * other, L, ks * c)
 
         out = BiLSTM(hidden=self.hidden, dtype=self.dtype,
-                     use_pallas=self.use_pallas, name="bilstm")(seqs)
+                     use_pallas=self.use_pallas,
+                     use_pallas_train=self.use_pallas_train,
+                     name="bilstm")(seqs)
 
         # ConvTranspose1d(2H -> C, kernel ks, stride 1) == dense to [ks, C]
         # then overlap-add of the ks taps (output length L+ks-1 == seq).
@@ -126,6 +129,7 @@ class GridNetBlock(nn.Module):
     qk_output_channel: int = 2
     dtype: Dtype = jnp.float32
     use_pallas: bool = False
+    use_pallas_train: bool = False
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
@@ -137,9 +141,9 @@ class GridNetBlock(nn.Module):
 
         xp = jnp.pad(x, ((0, 0), (olp, olp), (olp, olp), (0, 0)))
         xp = _RnnPath(c, self.hidden, self.dtype, self.use_pallas,
-                      name="intra")(xp, seq_axis=2)
+                      self.use_pallas_train, name="intra")(xp, seq_axis=2)
         xp = _RnnPath(c, self.hidden, self.dtype, self.use_pallas,
-                      name="inter")(xp, seq_axis=1)
+                      self.use_pallas_train, name="inter")(xp, seq_axis=1)
         inter = xp[:, olp : olp + old_t, olp : olp + old_q, :]
 
         # ---- full-band frame self-attention over T -----------------------
@@ -190,6 +194,7 @@ class TFGridNet(nn.Module):
     fourier_scale: float = 16.0
     dtype: Dtype = jnp.float32
     use_pallas: bool = False
+    use_pallas_train: bool = False
 
     @nn.compact
     def __call__(self, x: Array, y: Array, t: Array = None) -> Array:
@@ -223,7 +228,8 @@ class TFGridNet(nn.Module):
             h = GridNetBlock(
                 emb_dim=c, hidden=self.hidden, n_head=self.n_head,
                 qk_output_channel=self.qk_output_channel, dtype=self.dtype,
-                use_pallas=self.use_pallas, name=f"block_{i}",
+                use_pallas=self.use_pallas,
+                use_pallas_train=self.use_pallas_train, name=f"block_{i}",
             )(h)
 
         out = nn.ConvTranspose(
@@ -248,6 +254,7 @@ def _make_variant(n_layers, emb_dim, hidden, time_conditioned, **kwargs):
         time_conditioned=time_conditioned,
         dtype=kwargs.get("dtype", jnp.float32),
         use_pallas=kwargs.get("use_pallas", False),
+        use_pallas_train=kwargs.get("use_pallas_train", False),
     )
 
 

@@ -173,6 +173,279 @@ def lstm_forward_pallas(x: Array, w_ih: Array, w_hh: Array, bias: Array,
     return out
 
 
+# ---------------------------------------------------------------------------
+# Training path: custom VJP with a reverse-sweep backward kernel
+# ---------------------------------------------------------------------------
+
+
+def _lstm_kernel_train(x_ref, w_ih_ref, w_hh_ref, bias_ref, out_ref, cout_ref,
+                       h_scr, c_scr, *, chunk_s: int, hidden: int):
+    """Forward kernel that additionally saves cell states (residuals)."""
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        h_scr[:] = jnp.zeros_like(h_scr)
+        c_scr[:] = jnp.zeros_like(c_scr)
+
+    tile_b = x_ref.shape[1]
+    d = x_ref.shape[2]
+    xg = jnp.dot(x_ref[:].reshape(chunk_s * tile_b, d), w_ih_ref[:],
+                 preferred_element_type=jnp.float32) + bias_ref[0]
+    xg = xg.reshape(chunk_s, tile_b, 4 * hidden)
+    whh = w_hh_ref[:]
+    for s in range(chunk_s):
+        gates = xg[s] + jnp.dot(h_scr[:], whh,
+                                preferred_element_type=jnp.float32)
+        i = jax.nn.sigmoid(gates[:, 0 * hidden : 1 * hidden])
+        f = jax.nn.sigmoid(gates[:, 1 * hidden : 2 * hidden])
+        g = jnp.tanh(gates[:, 2 * hidden : 3 * hidden])
+        o = jax.nn.sigmoid(gates[:, 3 * hidden : 4 * hidden])
+        c = f * c_scr[:] + i * g
+        h = o * jnp.tanh(c)
+        c_scr[:] = c
+        h_scr[:] = h
+        out_ref[s] = h
+        cout_ref[s] = c
+
+
+def _lstm_bwd_kernel(x_ref, hprev_ref, cprev_ref, dout_ref, w_ih_ref,
+                     w_hh_ref, bias_ref, w_ih_t_ref, w_hh_t_ref,
+                     dx_ref, dwih_ref, dwhh_ref, db_ref,
+                     dh_scr, dc_scr, dwih_scr, dwhh_scr, db_scr,
+                     *, chunk_s: int, hidden: int):
+    """Reverse sweep: one (b_tile, rev_s_chunk) grid step.
+
+    Recomputes gates/cell from saved previous states (cheap) and
+    accumulates weight gradients in VMEM scratch across all grid steps,
+    flushing to the outputs on the final step.
+    """
+    first_step = jnp.logical_and(pl.program_id(0) == 0, pl.program_id(1) == 0)
+
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        dh_scr[:] = jnp.zeros_like(dh_scr)
+        dc_scr[:] = jnp.zeros_like(dc_scr)
+
+    @pl.when(first_step)
+    def _():
+        dwih_scr[:] = jnp.zeros_like(dwih_scr)
+        dwhh_scr[:] = jnp.zeros_like(dwhh_scr)
+        db_scr[:] = jnp.zeros_like(db_scr)
+
+    tile_b = x_ref.shape[1]
+    d = x_ref.shape[2]
+    xg = jnp.dot(x_ref[:].reshape(chunk_s * tile_b, d), w_ih_ref[:],
+                 preferred_element_type=jnp.float32) + bias_ref[0]
+    xg = xg.reshape(chunk_s, tile_b, 4 * hidden)
+    whh = w_hh_ref[:]
+
+    for s in range(chunk_s - 1, -1, -1):
+        hprev = hprev_ref[s]
+        cprev = cprev_ref[s]
+        gates = xg[s] + jnp.dot(hprev, whh, preferred_element_type=jnp.float32)
+        i = jax.nn.sigmoid(gates[:, 0 * hidden : 1 * hidden])
+        f = jax.nn.sigmoid(gates[:, 1 * hidden : 2 * hidden])
+        g = jnp.tanh(gates[:, 2 * hidden : 3 * hidden])
+        o = jax.nn.sigmoid(gates[:, 3 * hidden : 4 * hidden])
+        c = f * cprev + i * g
+        tc = jnp.tanh(c)
+
+        dh = dout_ref[s] + dh_scr[:]
+        do_ = dh * tc
+        dc = dh * o * (1.0 - tc * tc) + dc_scr[:]
+        dgates = jnp.concatenate([
+            dc * g * i * (1.0 - i),
+            dc * cprev * f * (1.0 - f),
+            dc * i * (1.0 - g * g),
+            do_ * o * (1.0 - o),
+        ], axis=-1)  # [tile_b, 4H]
+
+        dx_ref[s] = jnp.dot(dgates, w_ih_t_ref[:],
+                            preferred_element_type=jnp.float32)
+        dwih_scr[:] += jnp.dot(x_ref[s].T, dgates,
+                               preferred_element_type=jnp.float32)
+        dwhh_scr[:] += jnp.dot(hprev.T, dgates,
+                               preferred_element_type=jnp.float32)
+        db_scr[:] += jnp.sum(dgates, axis=0, keepdims=True)
+        dh_scr[:] = jnp.dot(dgates, w_hh_t_ref[:],
+                            preferred_element_type=jnp.float32)
+        dc_scr[:] = dc * f
+
+    last_step = jnp.logical_and(pl.program_id(0) == pl.num_programs(0) - 1,
+                                pl.program_id(1) == pl.num_programs(1) - 1)
+
+    @pl.when(last_step)
+    def _():
+        dwih_ref[:] = dwih_scr[:]
+        dwhh_ref[:] = dwhh_scr[:]
+        db_ref[:] = db_scr[:]
+
+
+def _padded_call_shapes(s_len, b, d, hidden, chunk_s=16, max_tile_b=128):
+    hp = _round_up(hidden, LANE)
+    dp = _round_up(d, LANE)
+    tile_b = min(_round_up(b, 8), max_tile_b)
+    bp = _round_up(b, tile_b)
+    sp = _round_up(s_len, chunk_s)
+    return hp, dp, tile_b, bp, sp
+
+
+@jax.custom_vjp
+def lstm_core(x: Array, w_ih: Array, w_hh: Array, bias: Array) -> Array:
+    """Differentiable LSTM over pre-padded inputs.
+
+    x: [S', B', D'] (S' mult of 16, B' mult of tile, D'/H' lane-padded);
+    w_ih: [D', 4H']; w_hh: [H', 4H']; bias: [1, 4H'].  Returns [S', B', H'].
+    """
+    h, _ = _lstm_core_fwd_kernel(x, w_ih, w_hh, bias)
+    return h
+
+
+def _lstm_core_fwd_kernel(x, w_ih, w_hh, bias):
+    sp, bp, dp = x.shape
+    hp = w_hh.shape[0]
+    chunk_s = 16
+    tile_b = min(bp, 128)
+    grid = (bp // tile_b, sp // chunk_s)
+    h, c = pl.pallas_call(
+        functools.partial(_lstm_kernel_train, chunk_s=chunk_s, hidden=hp),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((chunk_s, tile_b, dp), lambda i, j: (j, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((dp, 4 * hp), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((hp, 4 * hp), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4 * hp), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((chunk_s, tile_b, hp), lambda i, j: (j, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk_s, tile_b, hp), lambda i, j: (j, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((sp, bp, hp), jnp.float32),
+            jax.ShapeDtypeStruct((sp, bp, hp), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((tile_b, hp), jnp.float32),
+            pltpu.VMEM((tile_b, hp), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=_use_interpret(),
+    )(x, w_ih, w_hh, bias)
+    return h, c
+
+
+def _lstm_core_fwd(x, w_ih, w_hh, bias):
+    h, c = _lstm_core_fwd_kernel(x, w_ih, w_hh, bias)
+    return h, (x, w_ih, w_hh, bias, h, c)
+
+
+def _lstm_core_bwd(res, dout):
+    x, w_ih, w_hh, bias, h, c = res
+    sp, bp, dp = x.shape
+    hp = w_hh.shape[0]
+    chunk_s = 8  # smaller chunks: backward streams 4 blocks per step
+    tile_b = min(bp, 128)
+    # previous-step states, chunk-local
+    hprev = jnp.concatenate([jnp.zeros_like(h[:1]), h[:-1]], axis=0)
+    cprev = jnp.concatenate([jnp.zeros_like(c[:1]), c[:-1]], axis=0)
+    n_chunks = sp // chunk_s
+    grid = (bp // tile_b, n_chunks)
+
+    def rev_map(i, j):
+        return (n_chunks - 1 - j, i, 0)
+
+    dx, dwih, dwhh, db = pl.pallas_call(
+        functools.partial(_lstm_bwd_kernel, chunk_s=chunk_s, hidden=hp),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((chunk_s, tile_b, dp), rev_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk_s, tile_b, hp), rev_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk_s, tile_b, hp), rev_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk_s, tile_b, hp), rev_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((dp, 4 * hp), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((hp, 4 * hp), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4 * hp), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((4 * hp, dp), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((4 * hp, hp), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((chunk_s, tile_b, dp), rev_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((dp, 4 * hp), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((hp, 4 * hp), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4 * hp), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((sp, bp, dp), jnp.float32),
+            jax.ShapeDtypeStruct((dp, 4 * hp), jnp.float32),
+            jax.ShapeDtypeStruct((hp, 4 * hp), jnp.float32),
+            jax.ShapeDtypeStruct((1, 4 * hp), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((tile_b, hp), jnp.float32),
+            pltpu.VMEM((tile_b, hp), jnp.float32),
+            pltpu.VMEM((dp, 4 * hp), jnp.float32),
+            pltpu.VMEM((hp, 4 * hp), jnp.float32),
+            pltpu.VMEM((1, 4 * hp), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=_use_interpret(),
+    )(x, hprev, cprev, dout.astype(jnp.float32), w_ih, w_hh, bias,
+      w_ih.T, w_hh.T)
+    return dx, dwih, dwhh, db
+
+
+lstm_core.defvjp(_lstm_core_fwd, _lstm_core_bwd)
+
+
+@functools.partial(jax.jit, static_argnames=("reverse",))
+def lstm_train_pallas(x: Array, w_ih: Array, w_hh: Array, bias: Array,
+                      reverse: bool = False) -> Array:
+    """Differentiable Pallas LSTM (same contract as lstm_forward_pallas)."""
+    s_len, b, d = x.shape
+    hidden = w_hh.shape[0]
+    if reverse:
+        x = jnp.flip(x, axis=0)
+    hp = _round_up(hidden, LANE)
+    dp = _round_up(d, LANE)
+    w_ih_p = _pad_gate_cols(w_ih, hidden, hp)
+    w_hh_p = _pad_gate_cols(w_hh, hidden, hp)
+    bias_p = _pad_gate_cols(bias[None, :], hidden, hp)
+    if dp != d:
+        w_ih_p = jnp.pad(w_ih_p, ((0, dp - d), (0, 0)))
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, dp - d)))
+    if hp != hidden:
+        w_hh_p = jnp.pad(w_hh_p, ((0, hp - hidden), (0, 0)))
+    tile_b = min(_round_up(b, 8), 128)
+    bp = _round_up(b, tile_b)
+    sp = _round_up(s_len, 16)
+    if bp != b or sp != s_len:
+        x = jnp.pad(x, ((0, sp - s_len), (0, bp - b), (0, 0)))
+    out = lstm_core(x.astype(jnp.float32), w_ih_p.astype(jnp.float32),
+                    w_hh_p.astype(jnp.float32), bias_p.astype(jnp.float32))
+    out = out[:s_len, :b, :hidden]
+    if reverse:
+        out = jnp.flip(out, axis=0)
+    return out
+
+
+def bilstm_pallas_train(x: Array, w_ih: Array, w_hh: Array, bias: Array) -> Array:
+    """Differentiable bidirectional Pallas LSTM ([B,S,D] -> [B,S,2H])."""
+    xs = jnp.swapaxes(x, 0, 1)
+    fwd = lstm_train_pallas(xs, w_ih[0], w_hh[0], bias[0], reverse=False)
+    bwd = lstm_train_pallas(xs, w_ih[1], w_hh[1], bias[1], reverse=True)
+    return jnp.concatenate([jnp.swapaxes(fwd, 0, 1), jnp.swapaxes(bwd, 0, 1)],
+                           axis=-1)
+
+
 def bilstm_pallas(x: Array, w_ih: Array, w_hh: Array, bias: Array) -> Array:
     """Bidirectional LSTM via two Pallas recurrence kernels.
 

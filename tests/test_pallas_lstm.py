@@ -84,3 +84,44 @@ def test_bilstm_module_pallas_flag_equivalence():
     m_pal = BiLSTM(hidden=10, use_pallas=True)
     out_pal = m_pal.apply(params, x)
     np.testing.assert_allclose(np.asarray(out_pal), np.asarray(out_scan), atol=2e-5)
+
+
+def test_pallas_train_grads_match_scan():
+    """Custom-VJP Pallas LSTM gradients == autodiff of the scan BiLSTM."""
+    from fdbm_tpu.ops.lstm import bilstm_pallas_train
+
+    key = jax.random.PRNGKey(10)
+    d, h, b, s = 12, 10, 3, 19
+    w_ih, w_hh, bias = _params(key, d, h)
+    x = jax.random.normal(jax.random.PRNGKey(11), (b, s, d))
+    tgt = jax.random.normal(jax.random.PRNGKey(12), (b, s, 2 * h))
+
+    def loss_scan(args):
+        w_ih, w_hh, bias, x = args
+        out = _scan_reference(x, w_ih, w_hh, bias)
+        return jnp.mean((out - tgt) ** 2)
+
+    def loss_pallas(args):
+        w_ih, w_hh, bias, x = args
+        out = bilstm_pallas_train(x, w_ih, w_hh, bias)
+        return jnp.mean((out - tgt) ** 2)
+
+    args = (w_ih, w_hh, bias, x)
+    v1, g1 = jax.value_and_grad(loss_scan)(args)
+    v2, g2 = jax.value_and_grad(loss_pallas)(args)
+    np.testing.assert_allclose(float(v1), float(v2), rtol=1e-5)
+    for a, b_ in zip(jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   atol=2e-5, rtol=1e-3)
+
+
+def test_pallas_train_forward_matches_infer():
+    from fdbm_tpu.ops.lstm import bilstm_pallas, bilstm_pallas_train
+
+    key = jax.random.PRNGKey(13)
+    d, h, b, s = 16, 12, 2, 23
+    w_ih, w_hh, bias = _params(key, d, h)
+    x = jax.random.normal(jax.random.PRNGKey(14), (b, s, d))
+    o1 = bilstm_pallas(x, w_ih, w_hh, bias)
+    o2 = bilstm_pallas_train(x, w_ih, w_hh, bias)
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), atol=1e-6)
