@@ -253,6 +253,10 @@ class Trainer:
                     fdbm, state.ema_params, valid_set, self.num_eval_files,
                     sub, sample_dir=self.sample_dir, epoch=epoch))
             if val_metrics:
+                # sync_dist equivalent: average metrics across hosts
+                from fdbm_tpu.parallel.distributed import all_gather_host_metrics
+
+                val_metrics = all_gather_host_metrics(val_metrics)
                 self.logger.log(step, val_metrics)
             self.ckpt.save(state, val_metrics)
             epoch += 1
