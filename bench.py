@@ -59,7 +59,7 @@ def main():
     # Warmup / compile
     enhance(params, y_audio, key).block_until_ready()
 
-    iters = 3
+    iters = 6
     t0 = time.perf_counter()
     for i in range(iters):
         out = enhance(params, y_audio, jax.random.fold_in(key, i))

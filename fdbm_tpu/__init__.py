@@ -8,3 +8,16 @@ models, NCSN++ and TF-GridNet backbones, exponential-integrator samplers as
 """
 
 __version__ = "0.1.0"
+
+__all__ = [
+    "dsp",
+    "paths",
+    "sampling",
+    "losses",
+    "model",
+    "data",
+    "train",
+    "infer",
+    "config",
+    "checkpoint",
+]

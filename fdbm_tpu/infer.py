@@ -87,10 +87,16 @@ class BucketedEnhancer:
     def _get_fn(self, length: int):
         fn = self._jitted.get(length)
         if fn is None:
+            # NCSN++ CLIs use reflection frame padding
+            # (reference infer_single.py:64-69, infer_folder.py:83-88).
+            pad_mode = ("reflection"
+                        if self.fdbm.cfg.backbone.startswith("ncsnpp")
+                        else "zero_pad")
+
             def enhance(params, y_audio, key):
                 return self.fdbm.enhance_batch(
                     params, y_audio, key, sampler_type=self.sampler_type,
-                    N=self.N, **self.sampler_kwargs,
+                    N=self.N, pad_mode=pad_mode, **self.sampler_kwargs,
                 )
 
             fn = jax.jit(enhance)
@@ -142,8 +148,11 @@ class BucketedEnhancer:
                 for j, i in enumerate(chunk):
                     L = len(audios[i])
                     x = enhanced[j, :L] * norms[j]
-                    if np.max(np.abs(x)) > 1.0:
-                        x = x * clip_scale  # clipping guard
+                    peak = np.max(np.abs(x))
+                    if peak > 1.0:
+                        # renormalise to clip_scale peak (reference
+                        # infer_single.py:98-99 uses 0.5, infer_folder 0.95)
+                        x = x / peak * clip_scale
                     out[i] = x.astype(np.float32)
         return out  # type: ignore[return-value]
 

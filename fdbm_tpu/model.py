@@ -339,7 +339,8 @@ class FDBM:
 
     def enhance_batch(self, params, y_audio: Array, key: jax.Array,
                       sampler_type: Optional[str] = None,
-                      N: Optional[int] = None, **kwargs) -> Array:
+                      N: Optional[int] = None,
+                      pad_mode: str = "zero_pad", **kwargs) -> Array:
         """Fully-jittable audio->audio enhancement of a normalised batch.
 
         [B, L] float32 in, [B, L] float32 out.  All complex intermediates
@@ -347,11 +348,22 @@ class FDBM:
         backends where complex64 cannot cross the host/jit boundary, and
         the efficient layout regardless (one fused device program per
         padded-length bucket).
+
+        pad_mode: frame padding for NCSN++ ("zero_pad" in validation eval,
+        "reflection" in the inference CLIs; reference infer_single.py:64-69).
         """
         length = y_audio.shape[-1]
         y_spec = self.audio_to_spec(y_audio)
         if self.cfg.backbone.startswith("ncsnpp"):
-            y_spec = dsp.pad_spec(y_spec)
+            # reflection padding operates on |real| views in the reference
+            # (torch ReflectionPad2d on complex is unsupported there too);
+            # pad the complex spec componentwise.
+            if pad_mode == "reflection":
+                re = dsp.pad_spec(jnp.real(y_spec), "reflection")
+                im = dsp.pad_spec(jnp.imag(y_spec), "reflection")
+                y_spec = jax.lax.complex(re, im)
+            else:
+                y_spec = dsp.pad_spec(y_spec, pad_mode)
         sample = self.enhance_spec(params, y_spec, key, sampler_type, N, **kwargs)
         return self.spec_to_audio(sample[:, 0], length=length)
 
