@@ -131,6 +131,9 @@ class FDBMConfig:
     # bfloat16 roughly doubles MXU throughput on TPU at a small numeric
     # cost (norm statistics and the final complex output stay fp32).
     inference_dtype: str = ""
+    # micro-batch accumulation (reference --accumulate_grad_batches,
+    # train.py:82): optimiser applies every k-th step via optax.MultiSteps.
+    accumulate_grad_batches: int = 1
 
     @classmethod
     def from_dict(cls, d: Dict[str, Any]) -> "FDBMConfig":
@@ -185,6 +188,9 @@ class FDBM:
             optax.clip_by_global_norm(3.0),
             optax.adam(self.lr_schedule),
         )
+        if cfg.accumulate_grad_batches > 1:
+            self.optimizer = optax.MultiSteps(
+                self.optimizer, every_k_schedule=cfg.accumulate_grad_batches)
 
     # -- spec helpers -------------------------------------------------------
 

@@ -219,8 +219,6 @@ class Trainer:
             for batch in train_loader:
                 key, sub = jax.random.split(key)
                 if self.profile_steps and step + 1 == self.profile_steps[0]:
-                    from fdbm_tpu.utils import profiling as _prof
-
                     jax.profiler.start_trace(os.path.join(self.log_dir, "profile"))
                 state, metrics = self.train_step(state, shard_batch(self.mesh, batch), sub)
                 step = int(state.step)

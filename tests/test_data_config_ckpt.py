@@ -146,3 +146,25 @@ def test_params_only_save_restore(tmp_path):
     a = jax.tree_util.tree_leaves(params)[0]
     b = jax.tree_util.tree_leaves(restored)[0]
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_cli_build_from_config(tmp_path):
+    """train.py's config -> (FDBM, DataConfig) assembly works on the
+    shipped YAML surface."""
+    import sys
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from train import build_from_config
+    from fdbm_tpu.config import load_config
+
+    cfg = load_config("configs/config.yaml", {"base_dir": str(tmp_path)})
+    fdbm, data_cfg = build_from_config(cfg)
+    assert fdbm.cfg.backbone == "tfgridnet_5l32c100"
+    assert fdbm.cfg.loss_type == "data_prediction_hybrid"
+    assert fdbm.cfg.scheduler_config["scheduler"] == "warmup"
+    assert data_cfg.n_fft == 512 and data_cfg.hop_length == 256
+    assert data_cfg.batch_size == 2
+
+    cfg2 = load_config("configs/config_predictive.yaml", {"base_dir": str(tmp_path)})
+    fdbm2, _ = build_from_config(cfg2)
+    assert fdbm2.cfg.mode == "predictive"
+    assert fdbm2.cfg.backbone.endswith("_predictive")
