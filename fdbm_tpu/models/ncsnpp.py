@@ -163,8 +163,11 @@ class NCSNpp(nn.Module):
         # [B,1,F,T] -> [B, F, T, C_in] (freq = H, frames = W)
         inp = jnp.stack([ch[:, 0] for ch in chans], axis=-1).astype(self.dtype)
         orig_f = inp.shape[1]
-        if orig_f == 257:
-            inp = inp[:, :256]  # slice to pow-2 freq (ncsnpp_v2.py:249-250)
+        # Slice the odd (Nyquist) bin so freq is a power-of-2 multiple; the
+        # reference hardcodes 257->256 (ncsnpp_v2.py:249-250) — generalised
+        # to any odd onesided bin count.
+        if orig_f % 2 == 1:
+            inp = inp[:, : orig_f - 1]
         channels = inp.shape[-1]
 
         # ---- time embedding ------------------------------------------------
@@ -258,7 +261,7 @@ class NCSNpp(nn.Module):
         # final 1x1: channels -> 2 (score.re, score.im)  (ncsnpp_v2.py:93,392)
         h = nn.Dense(2, name="output_layer")(h)
         out = jax.lax.complex(h[..., 0], h[..., 1])  # [B, F, T]
-        if orig_f == 257:
+        if orig_f % 2 == 1:
             out = jnp.concatenate(
                 [out, jnp.zeros_like(out[:, :1])], axis=1)  # re-append zero row
         return out[:, None]  # [B, 1, F, T]

@@ -134,3 +134,37 @@ def test_data_parallel_matches_single_device():
     pp = jax.tree_util.tree_leaves(state_p.params)
     for a, b in zip(ps, pp):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-3)
+
+
+def test_ncsnpp_predictive_mode():
+    cfg = FDBMConfig(mode="predictive", backbone="ncsnpp_v2_5M_predictive",
+                     loss_type="data_prediction",
+                     n_fft=128, hop_length=64, num_frames=32)
+    fdbm = FDBM(cfg)
+    state = fdbm.init_state(jax.random.PRNGKey(0))
+    state, metrics = jax.jit(fdbm.train_step)(state, _batch(), jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["train_loss"]))
+
+
+def test_enhance_with_pc_and_ode_int():
+    cfg = FDBMConfig(mode="generative", N=4, noise_schedule="ve", **SMALL)
+    fdbm = FDBM(cfg)
+    state = fdbm.init_state(jax.random.PRNGKey(0))
+    y = np.random.default_rng(0).standard_normal(3000).astype(np.float32) * 0.1
+    out_pc = fdbm.enhance_audio(state.ema_params, y, jax.random.PRNGKey(1),
+                                sampler_type="pc", predictor_name="euler_maruyama",
+                                corrector_name="langevin")
+    assert out_pc.shape == y.shape and np.all(np.isfinite(out_pc))
+    out_int = fdbm.enhance_audio(state.ema_params, y, jax.random.PRNGKey(2),
+                                 sampler_type="ode_int", max_steps=60)
+    assert out_int.shape == y.shape and np.all(np.isfinite(out_int))
+
+
+def test_melphase_train_step():
+    cfg = FDBMConfig(mode="generative", loss_type="data_prediction_melphase",
+                     **SMALL)
+    fdbm = FDBM(cfg)
+    state = fdbm.init_state(jax.random.PRNGKey(0))
+    state, metrics = jax.jit(fdbm.train_step)(
+        state, _batch(num_frames=32, hop=64), jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["train_loss"]))
