@@ -220,7 +220,11 @@ class FDBM:
 
     def init_params(self, key: jax.Array, batch_size: int = 1):
         f = self.cfg.n_fft // 2 + 1
-        t_frames = self.cfg.num_frames
+        # Parameter shapes don't depend on the frame count; init on a short
+        # crop (multiple of 64 for NCSN++'s pyramid) so the init program
+        # compiles quickly. Use the sampling twin — identical parameter
+        # structure, lighter forward.
+        t_frames = min(self.cfg.num_frames, 64)
 
         # Jit the whole init: one compiled program instead of op-by-op
         # dispatch, and complex dummies materialise on device only.
@@ -229,8 +233,8 @@ class FDBM:
             dummy = jnp.zeros((batch_size, 1, f, t_frames), jnp.complex64)
             t = jnp.full((batch_size,), 0.5, jnp.float32)
             if self.cfg.mode == "predictive":
-                return self.dnn.init(key, None, dummy)
-            return self.dnn.init(key, dummy, dummy, t)
+                return self.dnn_sample.init(key, None, dummy)
+            return self.dnn_sample.init(key, dummy, dummy, t)
 
         return _init(key)
 
