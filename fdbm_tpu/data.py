@@ -203,14 +203,20 @@ class BatchLoader:
         stop = threading.Event()
 
         def worker():
-            try:
-                for idx in batches:
-                    if stop.is_set():
-                        return
-                    xs, ys = zip(*(self.ds.load_item(int(i)) for i in idx))
-                    q.put((np.stack(xs), np.stack(ys)))
-            finally:
-                q.put(None)
+            from concurrent.futures import ThreadPoolExecutor
+
+            # Threads scale because the native decode/crop path releases
+            # the GIL (fdbm_tpu/ops/native/wavio.cc).
+            with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+                try:
+                    for idx in batches:
+                        if stop.is_set():
+                            return
+                        items = list(pool.map(self.ds.load_item, map(int, idx)))
+                        xs, ys = zip(*items)
+                        q.put((np.stack(xs), np.stack(ys)))
+                finally:
+                    q.put(None)
 
         th = threading.Thread(target=worker, daemon=True)
         th.start()
