@@ -35,10 +35,20 @@ def main():
 
     cfg = load_config(args.config, parse_cli_overrides(args.overrides))
 
-    # Rebuild the pretrained model config, then override the fine-tuning
-    # fields (N / batch / lr / scheduler; reference train_finetuning.py:109-114).
+    # Rebuild the pretrained model config; the architecture / STFT / bridge
+    # definition comes from the checkpoint. Only training-procedure fields
+    # are overridden by the fine-tuning YAML (reference
+    # train_finetuning.py:109-114 overrides N / batch / lr / scheduler).
+    OVERRIDABLE = {
+        "N", "batch_size", "lr", "scheduler_config", "loss_type", "l1_weight",
+        "pesq_weight", "num_eval_files", "save_ckpt_interval", "base_dir",
+        "log_dir", "version", "num_workers", "num_data_per_epoch", "dummy",
+        "accumulate_grad_batches",
+    }
     pretrain_cfg = load_checkpoint_config(cfg["ckpt"])
-    merged = {**pretrain_cfg, **{k: v for k, v in cfg.items() if v is not None}}
+    merged = {**pretrain_cfg,
+              **{k: v for k, v in cfg.items()
+                 if k in OVERRIDABLE and v is not None}}
     merged["mode"] = "finetuning"
     merged["sampler_type"] = "ode_ei"
     model_cfg = FDBMConfig.from_dict(merged)
