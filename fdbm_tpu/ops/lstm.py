@@ -51,32 +51,37 @@ def _use_interpret() -> bool:
 
 
 def _lstm_kernel(x_ref, w_ih_ref, w_hh_ref, bias_ref, out_ref, h_scr, c_scr,
-                 *, chunk_s: int, hidden: int):
+                 *, chunk_s: int, hidden: int, mxu_bf16: bool = False):
     """One (b_tile, s_chunk) grid step: advance the recurrence chunk_s steps.
 
     x_ref:    [chunk_s, TILE_B, D]   raw inputs
     w_ih_ref: [D, 4H]; w_hh_ref: [H, 4H]; bias_ref: [1, 4H]
     out_ref:  [chunk_s, TILE_B, H]   hidden states
     h_scr/c_scr: [TILE_B, H]         carry, persistent across s_chunks
+
+    mxu_bf16: feed the matmuls bf16 operands (fp32 accumulation) — the MXU
+    native format; carry and elementwise math stay fp32.
     """
     @pl.when(pl.program_id(1) == 0)
     def _():
         h_scr[:] = jnp.zeros_like(h_scr)
         c_scr[:] = jnp.zeros_like(c_scr)
 
+    mm_dt = jnp.bfloat16 if mxu_bf16 else jnp.float32
     # Project the whole chunk's inputs in one MXU matmul.
     tile_b = x_ref.shape[1]
     d = x_ref.shape[2]
     xg = jnp.dot(
-        x_ref[:].reshape(chunk_s * tile_b, d), w_ih_ref[:],
+        x_ref[:].reshape(chunk_s * tile_b, d).astype(mm_dt),
+        w_ih_ref[:].astype(mm_dt),
         preferred_element_type=jnp.float32,
     ) + bias_ref[0]
     xg = xg.reshape(chunk_s, tile_b, 4 * hidden)
 
-    whh = w_hh_ref[:]
+    whh = w_hh_ref[:].astype(mm_dt)
     for s in range(chunk_s):
         gates = xg[s] + jnp.dot(
-            h_scr[:], whh, preferred_element_type=jnp.float32)
+            h_scr[:].astype(mm_dt), whh, preferred_element_type=jnp.float32)
         i = jax.nn.sigmoid(gates[:, 0 * hidden : 1 * hidden])
         f = jax.nn.sigmoid(gates[:, 1 * hidden : 2 * hidden])
         g = jnp.tanh(gates[:, 2 * hidden : 3 * hidden])
@@ -100,9 +105,9 @@ def _pad_gate_cols(w: Array, hidden: int, hp: int) -> Array:
     return out
 
 
-@functools.partial(jax.jit, static_argnames=("reverse",))
+@functools.partial(jax.jit, static_argnames=("reverse", "mxu_bf16"))
 def lstm_forward_pallas(x: Array, w_ih: Array, w_hh: Array, bias: Array,
-                        reverse: bool = False) -> Array:
+                        reverse: bool = False, mxu_bf16: bool = False) -> Array:
     """Run one LSTM direction over raw inputs.
 
     Args:
@@ -141,7 +146,8 @@ def lstm_forward_pallas(x: Array, w_ih: Array, w_hh: Array, bias: Array,
 
     grid = (bp // tile_b, sp // chunk_s)
     out = pl.pallas_call(
-        functools.partial(_lstm_kernel, chunk_s=chunk_s, hidden=hp),
+        functools.partial(_lstm_kernel, chunk_s=chunk_s, hidden=hp,
+                          mxu_bf16=mxu_bf16),
         grid=grid,
         in_specs=[
             pl.BlockSpec((chunk_s, tile_b, dp), lambda i, j: (j, i, 0),
@@ -446,7 +452,8 @@ def bilstm_pallas_train(x: Array, w_ih: Array, w_hh: Array, bias: Array) -> Arra
                            axis=-1)
 
 
-def bilstm_pallas(x: Array, w_ih: Array, w_hh: Array, bias: Array) -> Array:
+def bilstm_pallas(x: Array, w_ih: Array, w_hh: Array, bias: Array,
+                  mxu_bf16: bool = False) -> Array:
     """Bidirectional LSTM via two Pallas recurrence kernels.
 
     Args:
@@ -454,13 +461,16 @@ def bilstm_pallas(x: Array, w_ih: Array, w_hh: Array, bias: Array) -> Array:
       w_ih: [2, D, 4H] input weights (dir 0 = fwd, 1 = bwd).
       w_hh: [2, H, 4H] recurrent weights.
       bias: [2, 4H].
+      mxu_bf16: bf16 matmul operands inside the kernel (fp32 accumulate).
 
     Returns:
       [B, S, 2H] — same contract as models.layers.BiLSTM.
     """
     xs = jnp.swapaxes(x, 0, 1)  # [S, B, D]
-    fwd = lstm_forward_pallas(xs, w_ih[0], w_hh[0], bias[0], reverse=False)
-    bwd = lstm_forward_pallas(xs, w_ih[1], w_hh[1], bias[1], reverse=True)
+    fwd = lstm_forward_pallas(xs, w_ih[0], w_hh[0], bias[0], reverse=False,
+                              mxu_bf16=mxu_bf16)
+    bwd = lstm_forward_pallas(xs, w_ih[1], w_hh[1], bias[1], reverse=True,
+                              mxu_bf16=mxu_bf16)
     # [S, B, H] -> [B, S, H]
     fwd = jnp.swapaxes(fwd, 0, 1)
     bwd = jnp.swapaxes(bwd, 0, 1)

@@ -72,3 +72,21 @@ def make_parallel_valid_step(fdbm, mesh: Mesh):
         in_shardings=(repl, (data, data), repl),
         out_shardings=repl,
     )
+
+
+def make_parallel_enhance(fdbm, mesh: Mesh, **enhance_kwargs):
+    """Batch-sharded enhancement: one jitted program whose utterance batch
+    is split across the data axis (each chip samples its shard; no
+    collectives needed). Complements per-process file sharding for
+    single-controller multi-chip serving."""
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P(DATA_AXIS))
+
+    def enhance(params, y_audio, key):
+        return fdbm.enhance_batch(params, y_audio, key, **enhance_kwargs)
+
+    return jax.jit(
+        enhance,
+        in_shardings=(repl, data, repl),
+        out_shardings=data,
+    )
