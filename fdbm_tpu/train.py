@@ -187,7 +187,11 @@ class Trainer:
         # (start_step, end_step) window traced with jax.profiler
         self.profile_steps = profile_steps
 
-    def fit(self, resume: bool = True, init_params=None) -> None:
+    def fit(self, resume: bool = True, init_params=None,
+            resume_from: Optional[str] = None) -> None:
+        """Train. ``resume_from`` restores from an external checkpoint dir
+        (the reference's `--ckpt` -> trainer.fit(ckpt_path), train.py:64,166);
+        otherwise ``resume=True`` continues this run's own 'last' slot."""
         fdbm = self.fdbm
         key = jax.random.PRNGKey(self.seed)
         key, init_key = jax.random.split(key)
@@ -197,9 +201,16 @@ class Trainer:
                 params=init_params,
                 ema_params=jax.tree_util.tree_map(lambda p: p, init_params),
             )
-        if resume and self.ckpt.has("last"):
-            state = self.ckpt.restore("last", jax.tree_util.tree_map(
-                lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), state))
+        abstract = jax.tree_util.tree_map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), state)
+        if resume_from:
+            src = CheckpointManager(resume_from)
+            if not src.has("last"):
+                raise FileNotFoundError(f"No 'last' checkpoint in {resume_from}")
+            state = src.restore("last", abstract)
+            print(f"resumed from {resume_from} at step {int(state.step)}")
+        elif resume and self.ckpt.has("last"):
+            state = self.ckpt.restore("last", abstract)
             print(f"resumed from step {int(state.step)}")
 
         train_set = SpecsDataset(self.data_cfg, "train", shuffle_spec=True,

@@ -35,7 +35,10 @@ def main():
     ap.add_argument("-C", "--config", required=True)
     ap.add_argument("-D", "--devices", type=int, default=None,
                     help="number of devices for the data mesh (default: all)")
-    ap.add_argument("--ckpt", default=None, help="resume checkpoint dir")
+    ap.add_argument("--ckpt", default=None, help="resume from this checkpoint dir")
+    ap.add_argument("--profile_steps", type=int, nargs=2, default=None,
+                    metavar=("START", "END"),
+                    help="jax.profiler trace window (train steps)")
     ap.add_argument("--max_steps", type=int, default=1_000_000)
     ap.add_argument("--max_epochs", type=int, default=10_000)
     ap.add_argument("--seed", type=int, default=0)
@@ -60,8 +63,10 @@ def main():
         seed=args.seed,
         config_blob=cfg,
         snapshot=not args.nolog,
+        profile_steps=tuple(args.profile_steps) if args.profile_steps else None,
     )
-    trainer.fit(resume=args.ckpt is not None)
+    ckpt = args.ckpt or cfg.get("ckpt")
+    trainer.fit(resume=False, resume_from=ckpt)
 
 
 if __name__ == "__main__":
