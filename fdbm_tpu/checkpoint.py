@@ -10,7 +10,6 @@ hyper-parameters into its .ckpt the same way, model.py:69).
 
 from __future__ import annotations
 
-import dataclasses
 import json
 import os
 import shutil

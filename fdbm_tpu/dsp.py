@@ -19,7 +19,6 @@ The iSTFT overlap-add uses a reshape-and-shift fold (no scatter) when
 
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import jax

@@ -24,7 +24,7 @@ reference fdbm/backbones/ncsnpp_v2_predictive.py).
 
 from __future__ import annotations
 
-from typing import Any, Sequence, Tuple
+from typing import Any, Tuple
 
 import jax
 import jax.numpy as jnp

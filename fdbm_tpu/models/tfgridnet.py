@@ -22,7 +22,7 @@ only; reference fdbm/backbones/tfgridnet_predictive.py).
 
 from __future__ import annotations
 
-from typing import Any, Tuple
+from typing import Any
 
 import jax
 import jax.numpy as jnp

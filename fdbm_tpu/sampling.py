@@ -22,7 +22,7 @@ time vector, like the reference backbone signature.
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, Optional, Tuple
+from typing import Callable
 
 import jax
 import jax.numpy as jnp
