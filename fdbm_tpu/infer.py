@@ -117,9 +117,33 @@ class BucketedEnhancer:
     # -- public --------------------------------------------------------------
 
     def enhance_many(self, audios: Sequence[np.ndarray], key: jax.Array,
-                     clip_scale: float = 0.95) -> List[np.ndarray]:
-        """Enhance a list of 1-D float32 utterances; preserves order."""
+                     clip_scale: float = 0.95,
+                     max_seconds: float = 30.0) -> List[np.ndarray]:
+        """Enhance a list of 1-D float32 utterances; preserves order.
+
+        Utterances longer than ``max_seconds`` are processed as overlapping
+        chunks with a cross-fade (the scalable long-utterance strategy —
+        SURVEY.md section 5; the reference pushes arbitrary lengths through
+        in one shot, which OOMs/slows beyond ~10^6 samples)."""
         cfg = self.fdbm.cfg
+        max_len = (int(max_seconds * cfg.sr) if np.isfinite(max_seconds)
+                   else max(len(a) for a in audios) + 1)
+        long_idx = [i for i, a in enumerate(audios) if len(a) > max_len]
+        if long_idx:
+            out_all: List[Optional[np.ndarray]] = [None] * len(audios)
+            short = [i for i in range(len(audios)) if i not in set(long_idx)]
+            if short:
+                key, sub = jax.random.split(key)
+                shorts = self.enhance_many([audios[i] for i in short], sub,
+                                           clip_scale, max_seconds=np.inf)
+                for j, i in enumerate(short):
+                    out_all[i] = shorts[j]
+            for i in long_idx:
+                key, sub = jax.random.split(key)
+                out_all[i] = self._enhance_long(audios[i], sub, clip_scale,
+                                                max_len)
+            return out_all  # type: ignore[return-value]
+
         buckets: Dict[int, List[int]] = {}
         for i, a in enumerate(audios):
             buckets.setdefault(self._bucket_length(len(a)), []).append(i)
@@ -155,6 +179,33 @@ class BucketedEnhancer:
                         x = x / peak * clip_scale
                     out[i] = x.astype(np.float32)
         return out  # type: ignore[return-value]
+
+    def _enhance_long(self, audio: np.ndarray, key: jax.Array,
+                      clip_scale: float, max_len: int) -> np.ndarray:
+        """Chunked overlap-add enhancement with a linear cross-fade."""
+        hop = self.fdbm.cfg.hop_length
+        overlap = 16 * hop  # 16 frames of cross-fade
+        chunk_len = max_len - (max_len % hop)
+        step = chunk_len - overlap
+        starts = list(range(0, max(1, len(audio) - overlap), step))
+        chunks = [audio[s : s + chunk_len] for s in starts]
+        key, sub = jax.random.split(key)
+        enhanced = self.enhance_many(chunks, sub, clip_scale, max_seconds=np.inf)
+
+        out = np.zeros(len(audio), np.float64)
+        weight = np.zeros(len(audio), np.float64)
+        for s, e in zip(starts, enhanced):
+            n = len(e)
+            w = np.ones(n)
+            ramp = min(overlap, n)
+            w[:ramp] = np.linspace(0, 1, ramp, endpoint=False) if s > 0 else 1.0
+            w[n - ramp :] = np.minimum(w[n - ramp :],
+                                       np.linspace(1, 0, ramp, endpoint=False)) \
+                if s + n < len(audio) else w[n - ramp :]
+            out[s : s + n] += e * w
+            weight[s : s + n] += w
+        out = out / np.maximum(weight, 1e-8)
+        return out.astype(np.float32)
 
 
 def enhance_folder(

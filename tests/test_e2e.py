@@ -107,3 +107,21 @@ def test_bucketed_enhancer_orders_and_lengths(wav_root):
     outs = enh.enhance_many(audios, jax.random.PRNGKey(0))
     assert [len(o) for o in outs] == [len(a) for a in audios]
     assert all(np.all(np.isfinite(o)) for o in outs)
+
+
+def test_long_utterance_chunked_enhancement():
+    """Utterances beyond max_seconds go through chunked overlap-add."""
+    cfg = FDBMConfig(mode="generative", N=1, **SMALL)
+    fdbm = FDBM(cfg)
+    state = fdbm.init_state(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    long_audio = rng.standard_normal(40000).astype(np.float32) * 0.1
+    short_audio = rng.standard_normal(3000).astype(np.float32) * 0.1
+    enh = BucketedEnhancer(fdbm, state.ema_params, batch_size=2,
+                           bucket_frames_multiple=8)
+    # force chunking at ~1 second
+    outs = enh.enhance_many([long_audio, short_audio], jax.random.PRNGKey(1),
+                            max_seconds=1.0)
+    assert len(outs[0]) == len(long_audio)
+    assert len(outs[1]) == len(short_audio)
+    assert all(np.all(np.isfinite(o)) for o in outs)
