@@ -219,8 +219,10 @@ class Trainer:
                                  seed=self.seed)
         train_loader = BatchLoader(train_set, self.data_cfg.batch_size,
                                    shuffle=True, drop_last=True, seed=self.seed)
+        # drop_last=False pads the remainder batch by wrapping, keeping jit
+        # shapes static while covering every validation item.
         valid_loader = BatchLoader(valid_set, self.data_cfg.batch_size,
-                                   shuffle=False, drop_last=True, seed=self.seed)
+                                   shuffle=False, drop_last=False, seed=self.seed)
 
         step = int(state.step)
         epoch = 0
