@@ -196,7 +196,10 @@ class BatchLoader:
             if len(idx) < self.batch_size:
                 if self.drop_last:
                     continue
-                idx = np.concatenate([idx, order[: self.batch_size - len(idx)]])
+                # wrap-pad to the full batch (works even when the dataset
+                # is smaller than one batch)
+                extra = np.resize(order, self.batch_size - len(idx))
+                idx = np.concatenate([idx, extra])
             batches.append(idx)
 
         q: "queue.Queue" = queue.Queue(maxsize=4)
