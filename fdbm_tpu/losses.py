@@ -34,6 +34,19 @@ from fdbm_tpu import dsp
 Array = jnp.ndarray
 
 
+def _wmean(per_item: Array, weights: Optional[Array]) -> Array:
+    """Batch mean of per-item scalars, optionally weighted.
+
+    ``weights`` ([B], e.g. 0/1) excludes items from the mean — used to mask
+    wrap-padded remainder items in validation so duplicated items don't
+    bias the loss. ``weights=None`` is the plain mean (training path).
+    """
+    if weights is None:
+        return jnp.mean(per_item)
+    w = weights.astype(per_item.dtype)
+    return jnp.sum(per_item * w) / jnp.maximum(jnp.sum(w), 1e-8)
+
+
 # ---------------------------------------------------------------------------
 # Mel filterbank (librosa-compatible, Slaney scale + Slaney norm)
 # ---------------------------------------------------------------------------
@@ -92,7 +105,8 @@ def _unwrap(x: Array) -> Array:
     return jnp.abs(x - two_pi * jnp.round(x / two_pi))
 
 
-def phase_loss(spec_est: Array, spec_ref: Array) -> Array:
+def phase_loss(spec_est: Array, spec_ref: Array,
+               weights: Optional[Array] = None) -> Array:
     """Instantaneous-phase + group-delay + time-delay loss (loss.py:9-33).
 
     spec_*: complex [B, 1, F, T] (channel squeezed internally).
@@ -114,9 +128,9 @@ def phase_loss(spec_est: Array, spec_ref: Array) -> Array:
     ptd_r = banded_diff(p_r, axis=2)
     ptd_e = banded_diff(p_e, axis=2)
 
-    ip = jnp.mean(_unwrap(p_r - p_e))
-    gd = jnp.mean(_unwrap(gd_r - gd_e))
-    ptd = jnp.mean(_unwrap(ptd_r - ptd_e))
+    ip = _wmean(jnp.mean(_unwrap(p_r - p_e), axis=(1, 2)), weights)
+    gd = _wmean(jnp.mean(_unwrap(gd_r - gd_e), axis=(1, 2)), weights)
+    ptd = _wmean(jnp.mean(_unwrap(ptd_r - ptd_e), axis=(1, 2)), weights)
     return ip + gd + ptd
 
 
@@ -186,22 +200,26 @@ def mel_spectrogram_loss(
     mag_weight: float = 1.0,
     log_weight: float = 1.0,
     pow: float = 2.0,
+    weights: Optional[Array] = None,
 ) -> Array:
-    """Multi-resolution mel loss (loss.py:213-289). x = estimate, y = ref."""
+    """Multi-resolution mel loss (loss.py:213-289). x = estimate, y = ref
+    with shape [B, L]."""
     loss = 0.0
     for nm, w, h in zip(n_mels, win_lengths, hop_lengths):
-        xm = _stft_mag(x, w, h)  # [B', F, T]
+        xm = _stft_mag(x, w, h)  # [B, F, T]
         ym = _stft_mag(y, w, h)
         fb = jnp.asarray(mel_filters(sample_rate, w, nm))  # [nm, F]
         x_mel = jnp.einsum("bft,mf->bmt", xm, fb)
         y_mel = jnp.einsum("bft,mf->bmt", ym, fb)
         if log_weight > 0:
-            loss = loss + log_weight * jnp.mean(jnp.abs(
+            log_items = jnp.mean(jnp.abs(
                 jnp.log10(jnp.maximum(x_mel, clamp_eps) ** pow)
                 - jnp.log10(jnp.maximum(y_mel, clamp_eps) ** pow)
-            ))
+            ), axis=(1, 2))
+            loss = loss + log_weight * _wmean(log_items, weights)
         if mag_weight > 0:
-            loss = loss + mag_weight * jnp.mean(jnp.abs(x_mel - y_mel))
+            loss = loss + mag_weight * _wmean(
+                jnp.mean(jnp.abs(x_mel - y_mel), axis=(1, 2)), weights)
     return loss
 
 
@@ -216,7 +234,8 @@ MEL7 = dict(
 )
 
 
-def _sisnr_log10(ref_td: Array, est_td: Array) -> Array:
+def _sisnr_log10(ref_td: Array, est_td: Array,
+                 weights: Optional[Array] = None) -> Array:
     """The hybrid loss's SI-SNR term: log10 ratio, no 10x (model.py:203-211)."""
     dot = jnp.sum(ref_td * est_td, axis=-1, keepdims=True)
     ref_energy = jnp.sum(ref_td ** 2, axis=-1, keepdims=True) + 1e-12
@@ -224,7 +243,8 @@ def _sisnr_log10(ref_td: Array, est_td: Array) -> Array:
     ratio = jnp.sum(proj ** 2, axis=-1, keepdims=True) / (
         jnp.sum((est_td - proj) ** 2, axis=-1, keepdims=True) + 1e-12
     )
-    return jnp.mean(jnp.log10(jnp.maximum(ratio, 1e-12)))
+    per_item = jnp.log10(jnp.maximum(ratio, 1e-12)).reshape(ref_td.shape[0], -1)
+    return _wmean(jnp.mean(per_item, axis=-1), weights)
 
 
 def spec_mag_sisnr_loss(est: Array, ref: Array, n_fft: int, hop: int,
@@ -282,27 +302,44 @@ def make_loss_config(window_type: str = "sqrthann", **kwargs) -> LossConfig:
     return LossConfig(window=window, **kwargs)
 
 
-def compute_loss(cfg: LossConfig, x_hat: Array, x: Array) -> Array:
+def compute_loss(cfg: LossConfig, x_hat: Array, x: Array,
+                 weights: Optional[Array] = None) -> Array:
     """Dispatch on cfg.loss_type (reference model.py:162-256).
 
     x_hat, x: complex spectrograms [B, C, F, T] (compressed domain).
+    weights: optional [B] 0/1 mask excluding items from the batch mean
+    (wrap-padded validation remainders).
     """
-    if cfg.pesq_weight > 0.0:
-        raise NotImplementedError(
-            "Differentiable PESQ loss (torch_pesq) is not available in this "
-            "build; set pesq_weight=0.0 (the reference default)."
+    if cfg.pesq_weight > 0.0 and cfg.loss_type not in (
+            "data_prediction", "data_prediction_hybrid"):
+        raise ValueError(
+            "pesq_weight > 0 applies to data_prediction / "
+            "data_prediction_hybrid only (reference model.py:179-185,213-218)."
         )
+
+    def pesq_term(x_td, x_hat_td):
+        """pesq_weight * mean torch_pesq-style PESQ loss on raw waveforms
+        (reference model.py:179-185: self.pesq_loss(x_td, x_hat_td).mean())."""
+        from fdbm_tpu.pesq_loss import pesq_loss as _pesq_loss
+
+        per_item = _pesq_loss(x_td, x_hat_td, sample_rate=cfg.sample_rate)
+        return cfg.pesq_weight * _wmean(per_item, weights)
 
     if cfg.loss_type == "data_prediction":
         b, c, f, t = x.shape
         losses_tf = jnp.square(jnp.abs(x_hat - x)) / (f * t)
-        losses_tf = jnp.mean(0.5 * jnp.sum(losses_tf.reshape(b, -1), axis=-1))
+        losses_tf = _wmean(0.5 * jnp.sum(losses_tf.reshape(b, -1), axis=-1),
+                           weights)
         target_len = (cfg.num_frames - 1) * cfg.hop_length
         x_hat_td = cfg.to_audio(x_hat[:, 0], target_len)
         x_td = cfg.to_audio(x[:, 0], target_len)
         losses_l1 = jnp.abs(x_hat_td - x_td) / target_len
-        losses_l1 = jnp.mean(0.5 * jnp.sum(losses_l1.reshape(b, -1), axis=-1))
-        return losses_tf + cfg.l1_weight * losses_l1
+        losses_l1 = _wmean(0.5 * jnp.sum(losses_l1.reshape(b, -1), axis=-1),
+                           weights)
+        loss = losses_tf + cfg.l1_weight * losses_l1
+        if cfg.pesq_weight > 0.0:
+            loss = loss + pesq_term(x_td, x_hat_td)
+        return loss
 
     if cfg.loss_type == "data_prediction_hybrid":
         b, c, f, t = x.shape
@@ -310,31 +347,41 @@ def compute_loss(cfg: LossConfig, x_hat: Array, x: Array) -> Array:
         x_hat_nc = cfg.spec_back(x_hat)
         x_mag = jnp.abs(x_nc + 1e-12)
         x_hat_mag = jnp.abs(x_hat_nc + 1e-12)
-        losses_mag = jnp.mean(jnp.square(x_mag ** 0.3 - x_hat_mag ** 0.3))
+        losses_mag = _wmean(
+            jnp.mean(jnp.square(x_mag ** 0.3 - x_hat_mag ** 0.3), axis=(1, 2, 3)),
+            weights)
         diff = x_nc * x_mag ** -0.7 - x_hat_nc * x_hat_mag ** -0.7
-        losses_ri = jnp.sum(jnp.abs(diff) ** 2) / (b * c * f * t)
+        losses_ri = _wmean(
+            jnp.sum(jnp.abs(diff) ** 2, axis=(1, 2, 3)) / (c * f * t), weights)
         x_hat_td = cfg.to_audio(x_hat[:, 0])
         x_td = cfg.to_audio(x[:, 0])
-        sisnr = _sisnr_log10(x_td, x_hat_td)
-        return 70.0 * losses_mag + 30.0 * losses_ri - sisnr
+        sisnr = _sisnr_log10(x_td, x_hat_td, weights)
+        loss = 70.0 * losses_mag + 30.0 * losses_ri - sisnr
+        if cfg.pesq_weight > 0.0:
+            loss = loss + pesq_term(x_td, x_hat_td)
+        return loss
 
     if cfg.loss_type == "data_prediction_mel":
-        losses_tf = jnp.mean(jnp.square(jnp.abs(x_hat - x))) * 0.5
+        losses_tf = _wmean(
+            jnp.mean(jnp.square(jnp.abs(x_hat - x)), axis=(1, 2, 3)), weights) * 0.5
         target_len = (cfg.num_frames - 1) * cfg.hop_length
         x_hat_td = cfg.to_audio(x_hat[:, 0], target_len)
         x_td = cfg.to_audio(x[:, 0], target_len)
         losses_mel = mel_spectrogram_loss(x_hat_td, x_td,
-                                          sample_rate=cfg.sample_rate, **MEL7)
+                                          sample_rate=cfg.sample_rate,
+                                          weights=weights, **MEL7)
         return losses_tf + 0.1 * losses_mel
 
     if cfg.loss_type == "data_prediction_melphase":
-        losses_tf = jnp.mean(jnp.square(jnp.abs(x_hat - x))) * 0.5
+        losses_tf = _wmean(
+            jnp.mean(jnp.square(jnp.abs(x_hat - x)), axis=(1, 2, 3)), weights) * 0.5
         target_len = (cfg.num_frames - 1) * cfg.hop_length
         x_hat_td = cfg.to_audio(x_hat[:, 0], target_len)
         x_td = cfg.to_audio(x[:, 0], target_len)
         losses_mel = mel_spectrogram_loss(x_hat_td, x_td,
-                                          sample_rate=cfg.sample_rate, **MEL7)
-        losses_phase = phase_loss(x_hat, x)
+                                          sample_rate=cfg.sample_rate,
+                                          weights=weights, **MEL7)
+        losses_phase = phase_loss(x_hat, x, weights)
         return losses_tf + 0.1 * losses_mel + 0.01 * losses_phase
 
     raise ValueError(f"Invalid loss type: {cfg.loss_type}")

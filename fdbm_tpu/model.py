@@ -286,8 +286,13 @@ class FDBM:
                   + w_y.astype(jnp.complex64) * y)
         return xt
 
-    def loss_fn(self, params, batch: Tuple[Array, Array], key: jax.Array) -> Array:
-        x_audio, y_audio = batch
+    def loss_fn(self, params, batch, key: jax.Array) -> Array:
+        """batch: (x_audio, y_audio) or (x_audio, y_audio, weights[B]).
+
+        The optional 0/1 weights mask items out of the batch mean (used by
+        validation to ignore wrap-padded remainder duplicates)."""
+        x_audio, y_audio = batch[0], batch[1]
+        weights = batch[2] if len(batch) > 2 else None
         x = self.audio_to_spec(x_audio)
         y = self.audio_to_spec(y_audio)
         mode = self.cfg.mode
@@ -300,7 +305,7 @@ class FDBM:
             x_hat = self._finetune_unrolled(params, y, key)
         else:
             raise ValueError(f"Unknown mode {mode}")
-        return losses.compute_loss(self.loss_cfg, x_hat, x)
+        return losses.compute_loss(self.loss_cfg, x_hat, x, weights)
 
     # -- steps --------------------------------------------------------------
 
@@ -309,11 +314,20 @@ class FDBM:
         updates, opt_state = self.optimizer.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         # EMA with torch_ema's use_num_updates correction:
-        # decay_t = min(decay, (1+n)/(10+n))
-        n = state.ema_num_updates + 1
+        # decay_t = min(decay, (1+n)/(10+n)).
+        # Under gradient accumulation the blend runs only on micro-steps
+        # where MultiSteps actually applied an optimizer update (the
+        # reference updates EMA in optimizer_step, fdbm/model.py:129-132);
+        # after .update(), mini_step == 0 iff an application just happened.
+        if self.cfg.accumulate_grad_batches > 1:
+            applied = opt_state.mini_step == 0
+        else:
+            applied = jnp.array(True)
+        n = state.ema_num_updates + applied.astype(jnp.int32)
         decay = jnp.minimum(self.cfg.ema_decay, (1.0 + n) / (10.0 + n))
         ema_params = jax.tree_util.tree_map(
-            lambda e, p: e - (1.0 - decay) * (e - p), state.ema_params, params
+            lambda e, p: jnp.where(applied, e - (1.0 - decay) * (e - p), e),
+            state.ema_params, params
         )
         new_state = state.replace(
             step=state.step + 1, params=params, opt_state=opt_state,

@@ -166,10 +166,21 @@ class Bridge:
         """Predictor-corrector sampler (reference: bridge.py:142-166).
 
         The reference registers 'euler_maruyama' and 'none' predictors and
-        'langevin'/'ald'/'none' correctors; its default predictor name
-        'reverse_diffusion' is unregistered there, so (as there) any name
-        other than 'euler_maruyama' acts as the no-op predictor.
+        'langevin'/'ald'/'none' correctors. Its *default* predictor name
+        'reverse_diffusion' is unregistered there (a latent KeyError); we
+        keep it as a documented alias for the no-op predictor, but any
+        other unknown name raises instead of silently sampling without a
+        predictor/corrector.
         """
+        known_predictors = ("euler_maruyama", "none", "reverse_diffusion")
+        known_correctors = ("langevin", "ald", "none")
+        if predictor_name not in known_predictors:
+            raise ValueError(
+                f"Unknown predictor {predictor_name!r}; known: {known_predictors} "
+                f"('reverse_diffusion' is a documented no-op alias)")
+        if corrector_name not in known_correctors:
+            raise ValueError(
+                f"Unknown corrector {corrector_name!r}; known: {known_correctors}")
         timesteps = jnp.linspace(self.start_time, self.end_time, self.N)
         # stepsize_i = t_i - t_{i+1} except the last, which is t_{N-1}
         stepsizes = jnp.concatenate(
