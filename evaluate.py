@@ -4,9 +4,10 @@
     python evaluate.py --clean_dir /data/test/clean --enhanced_dir out/ \
         [--noisy_dir /data/test/noisy]
 
-Reports mean +- std (and 95% CI) of SI-SDR, ESTOI, and PESQ-WB (when the
-optional `pesq` package is available); with --noisy_dir also reports
-SI-SIR/SI-SAR energy ratios (reference fdbm/util/other.py:25-32,98-107).
+Reports mean +- std (and 95% CI) of SI-SDR, ESTOI, and PESQ-WB (via the
+ITU `pesq` package when importable, else the vendored P.862.2 estimator
+in fdbm_tpu.pesq_loss); with --noisy_dir also reports SI-SIR/SI-SAR
+energy ratios (reference fdbm/util/other.py:25-32,98-107).
 """
 
 from __future__ import annotations
@@ -31,6 +32,12 @@ def _load(path: str, sr: int = 16000) -> np.ndarray:
 
 
 def main():
+    # Multi-host runtime wiring (no-op on a single host): after this,
+    # jax.devices() spans the pod and process_index()/process_count()
+    # drive file sharding (reference DDP/rank semantics).
+    from fdbm_tpu.parallel import initialize
+
+    initialize()
     ap = argparse.ArgumentParser()
     ap.add_argument("--clean_dir", required=True)
     ap.add_argument("--enhanced_dir", required=True)

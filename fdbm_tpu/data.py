@@ -62,15 +62,22 @@ def _paired_files(base_dir: str, subset: str) -> Tuple[List[str], List[str]]:
 
 
 class SpecsDataset:
-    """Paired dataset yielding normalised audio crops (x, y) [target_len]."""
+    """Paired dataset yielding normalised audio crops (x, y) [target_len].
+
+    ``shard_by_process=True`` gives each host a disjoint ``[pi::pc]`` slice
+    of the (identically seeded, so globally agreed) epoch file list — the
+    multi-host equivalent of DDP's DistributedSampler. ``global_len``
+    reports the pre-shard size so hosts can agree on batch counts.
+    """
 
     def __init__(self, cfg: DataConfig, subset: str, shuffle_spec: bool,
-                 seed: int = 0):
+                 seed: int = 0, shard_by_process: bool = False):
         if cfg.format != "default":
             raise NotImplementedError(f"Directory format {cfg.format} unknown!")
         self.cfg = cfg
         self.subset = subset
         self.shuffle_spec = shuffle_spec
+        self.shard_by_process = shard_by_process
         self.clean_files_all, self.noisy_files_all = _paired_files(cfg.base_dir, subset)
         if len(self.clean_files_all) != len(self.noisy_files_all):
             raise ValueError(
@@ -80,20 +87,40 @@ class SpecsDataset:
         self.rng = np.random.default_rng(seed)
         self.clean_files: List[str] = []
         self.noisy_files: List[str] = []
+        self.global_len = 0
         self.sample_data_per_epoch()
 
     def sample_data_per_epoch(self) -> None:
         n = self.cfg.num_data_per_epoch
         if n is None:
-            self.clean_files = self.clean_files_all
-            self.noisy_files = self.noisy_files_all
+            clean = self.clean_files_all
+            noisy = self.noisy_files_all
         else:
             idx = self.rng.choice(len(self.clean_files_all), size=n, replace=False)
-            self.clean_files = [self.clean_files_all[i] for i in idx]
-            self.noisy_files = [self.noisy_files_all[i] for i in idx]
+            clean = [self.clean_files_all[i] for i in idx]
+            noisy = [self.noisy_files_all[i] for i in idx]
+        self.global_len = len(clean)
+        # pre-shard lists (used by eval-file sharding, which slices
+        # [:num_eval_files] of the *global* list before process-sharding)
+        self.clean_files_global = clean
+        self.noisy_files_global = noisy
+        if self.shard_by_process:
+            import jax
+
+            pi, pc = jax.process_index(), jax.process_count()
+            clean, noisy = clean[pi::pc], noisy[pi::pc]
+        self.clean_files = clean
+        self.noisy_files = noisy
 
     def __len__(self) -> int:
         n = len(self.clean_files)
+        return max(1, n // 200) if self.cfg.dummy and n else n
+
+    @property
+    def effective_global_len(self) -> int:
+        """Pre-shard length with the dummy /200 shrink applied — the number
+        all hosts use to agree on per-epoch batch counts."""
+        n = self.global_len
         return max(1, n // 200) if self.cfg.dummy and n else n
 
     def load_item(self, i: int) -> Tuple[np.ndarray, np.ndarray]:
@@ -173,15 +200,23 @@ class BatchLoader:
     """
 
     def __init__(self, dataset: SpecsDataset, batch_size: int, shuffle: bool,
-                 num_workers: int = 4, drop_last: bool = True, seed: int = 0):
+                 num_workers: int = 4, drop_last: bool = True, seed: int = 0,
+                 yield_mask: bool = False, num_batches: Optional[int] = None):
         self.ds = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.num_workers = max(1, num_workers)
         self.drop_last = drop_last
+        self.yield_mask = yield_mask
+        # Exact per-epoch batch count (multi-host lockstep): truncates or
+        # wrap-pads (mask 0) so every host dispatches the same number of
+        # collective steps even when dataset shards differ by one item.
+        self.num_batches = num_batches
         self.epoch_rng = np.random.default_rng(seed)
 
     def __len__(self) -> int:
+        if self.num_batches is not None:
+            return self.num_batches
         n = len(self.ds)
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
@@ -193,14 +228,22 @@ class BatchLoader:
         batches = []
         for s in range(0, n, self.batch_size):
             idx = order[s : s + self.batch_size]
-            if len(idx) < self.batch_size:
-                if self.drop_last:
+            n_real = len(idx)
+            if n_real < self.batch_size:
+                if self.drop_last and self.num_batches is None:
                     continue
                 # wrap-pad to the full batch (works even when the dataset
                 # is smaller than one batch)
-                extra = np.resize(order, self.batch_size - len(idx))
+                extra = np.resize(order, self.batch_size - n_real)
                 idx = np.concatenate([idx, extra])
-            batches.append(idx)
+            batches.append((idx, n_real))
+        if self.num_batches is not None:
+            batches = batches[: self.num_batches]
+            if n == 0 and self.num_batches > 0:
+                raise ValueError("num_batches > 0 requires a non-empty dataset")
+            while len(batches) < self.num_batches:
+                # all-padding batches keep hosts in lockstep; mask == 0
+                batches.append((np.resize(order, self.batch_size), 0))
 
         q: "queue.Queue" = queue.Queue(maxsize=4)
         stop = threading.Event()
@@ -212,12 +255,17 @@ class BatchLoader:
             # the GIL (fdbm_tpu/ops/native/wavio.cc).
             with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
                 try:
-                    for idx in batches:
+                    for idx, n_real in batches:
                         if stop.is_set():
                             return
                         items = list(pool.map(self.ds.load_item, map(int, idx)))
                         xs, ys = zip(*items)
-                        q.put((np.stack(xs), np.stack(ys)))
+                        batch = (np.stack(xs), np.stack(ys))
+                        if self.yield_mask:
+                            # 1 for real items, 0 for wrap-padded duplicates
+                            mask = (np.arange(len(idx)) < n_real).astype(np.float32)
+                            batch = batch + (mask,)
+                        q.put(batch)
                 finally:
                     q.put(None)
 

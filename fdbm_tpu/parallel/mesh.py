@@ -43,9 +43,25 @@ def make_mesh(n_devices: Optional[int] = None, devices: Optional[Sequence] = Non
 
 
 def shard_batch(mesh: Mesh, batch):
-    """Place a host batch (tuple of [B, ...] arrays) sharded on the data axis."""
+    """Place a host batch (tuple of [B, ...] arrays) sharded on the data axis.
+
+    Single-process: ``batch`` is the global batch; a plain device_put
+    splits it over the local devices. Multi-host: each process passes its
+    *process-local* shard (global batch = concatenation over processes in
+    process order, matching the device order of the 1-D mesh) and the
+    global array is assembled with
+    ``jax.make_array_from_process_local_data`` — no host ever materialises
+    the full global batch (the reference's DDP semantics, train.py:155-163,
+    where each rank loads only its sampler shard).
+    """
     sharding = NamedSharding(mesh, P(DATA_AXIS))
-    return jax.tree_util.tree_map(lambda a: jax.device_put(a, sharding), batch)
+    if jax.process_count() == 1:
+        return jax.tree_util.tree_map(
+            lambda a: jax.device_put(a, sharding), batch)
+    return jax.tree_util.tree_map(
+        lambda a: jax.make_array_from_process_local_data(
+            sharding, np.asarray(a)),
+        batch)
 
 
 def make_parallel_train_step(fdbm, mesh: Mesh, donate: bool = True):
@@ -56,9 +72,11 @@ def make_parallel_train_step(fdbm, mesh: Mesh, donate: bool = True):
     """
     repl = NamedSharding(mesh, P())
     data = NamedSharding(mesh, P(DATA_AXIS))
+    # `data` is a pytree-prefix sharding: it applies to every leaf of the
+    # batch tuple ((x, y) or (x, y, weights)).
     return jax.jit(
         fdbm.train_step,
-        in_shardings=(repl, (data, data), repl),
+        in_shardings=(repl, data, repl),
         out_shardings=(repl, repl),
         donate_argnums=(0,) if donate else (),
     )
@@ -69,7 +87,7 @@ def make_parallel_valid_step(fdbm, mesh: Mesh):
     data = NamedSharding(mesh, P(DATA_AXIS))
     return jax.jit(
         fdbm.valid_step,
-        in_shardings=(repl, (data, data), repl),
+        in_shardings=(repl, data, repl),
         out_shardings=repl,
     )
 

@@ -96,10 +96,10 @@ def evaluate_files(
     here means we take them all.
     """
     pi, pc = jax.process_index(), jax.process_count()
-    clean_files = valid_set.clean_files[:num_eval_files][pi::pc]
-    noisy_files = valid_set.noisy_files[:num_eval_files][pi::pc]
+    clean_files = valid_set.clean_files_global[:num_eval_files][pi::pc]
+    noisy_files = valid_set.noisy_files_global[:num_eval_files][pi::pc]
     if not clean_files:
-        return {}
+        return {}, {}
 
     audios, cleans = [], []
     for cf, nf in zip(clean_files, noisy_files):
@@ -137,13 +137,17 @@ def evaluate_files(
                 write_wav(os.path.join(sample_dir, f"{base}_clean.wav"), x, 16000)
 
     out: Dict[str, float] = {}
+    counts: Dict[str, int] = {}
     if sisdr_vals:
         out["si_sdr"] = float(np.mean(sisdr_vals))
+        counts["si_sdr"] = len(sisdr_vals)
     if pesq_vals:
         out["pesq"] = float(np.mean(pesq_vals))
+        counts["pesq"] = len(pesq_vals)
     if estoi_vals:
         out["estoi"] = float(np.mean(estoi_vals))
-    return out
+        counts["estoi"] = len(estoi_vals)
+    return out, counts
 
 
 class Trainer:
@@ -213,16 +217,38 @@ class Trainer:
             state = self.ckpt.restore("last", abstract)
             print(f"resumed from step {int(state.step)}")
 
+        # Multi-host: each process loads a disjoint [pi::pc] file shard and
+        # a batch_size/pc slice of the global batch (assembled in
+        # shard_batch via make_array_from_process_local_data); num_batches
+        # keeps every host dispatching the same number of collective steps.
+        pi, pc = jax.process_index(), jax.process_count()
+        if self.data_cfg.batch_size % pc != 0:
+            raise ValueError(
+                f"global batch_size {self.data_cfg.batch_size} must divide "
+                f"by process_count {pc}")
+        local_bs = self.data_cfg.batch_size // pc
         train_set = SpecsDataset(self.data_cfg, "train", shuffle_spec=True,
-                                 seed=self.seed)
+                                 seed=self.seed, shard_by_process=pc > 1)
         valid_set = SpecsDataset(self.data_cfg, "valid", shuffle_spec=False,
-                                 seed=self.seed)
-        train_loader = BatchLoader(train_set, self.data_cfg.batch_size,
-                                   shuffle=True, drop_last=True, seed=self.seed)
+                                 seed=self.seed, shard_by_process=pc > 1)
+
+        def _train_batches():
+            return (train_set.effective_global_len // pc) // local_bs
+
+        def _valid_batches():
+            n = valid_set.effective_global_len
+            per_host = (n + pc - 1) // pc  # ceil: largest host shard
+            return (per_host + local_bs - 1) // local_bs
+
+        train_loader = BatchLoader(train_set, local_bs,
+                                   shuffle=True, drop_last=True, seed=self.seed,
+                                   num_batches=_train_batches())
         # drop_last=False pads the remainder batch by wrapping, keeping jit
-        # shapes static while covering every validation item.
-        valid_loader = BatchLoader(valid_set, self.data_cfg.batch_size,
-                                   shuffle=False, drop_last=False, seed=self.seed)
+        # shapes static while covering every validation item; the mask
+        # excludes the wrapped duplicates from the loss.
+        valid_loader = BatchLoader(valid_set, local_bs,
+                                   shuffle=False, drop_last=False, seed=self.seed,
+                                   yield_mask=True, num_batches=_valid_batches())
 
         step = int(state.step)
         epoch = 0
@@ -250,24 +276,35 @@ class Trainer:
                     break
 
             # ---- validation epoch ----
-            val_losses = []
+            # Per-batch losses already exclude wrap-padded duplicates (the
+            # mask); the epoch mean weights each batch by its real item
+            # count so valid_loss is invariant to the batch-size remainder.
+            val_losses, val_counts = [], []
             for batch in valid_loader:
                 key, sub = jax.random.split(key)
+                n_real = float(batch[2].sum())
                 val_losses.append(float(self.valid_step(
                     state, shard_batch(self.mesh, batch), sub)))
+                val_counts.append(n_real)
             val_metrics: Dict[str, float] = {}
-            if val_losses:
-                val_metrics["valid_loss"] = float(np.mean(val_losses))
+            val_metric_counts: Dict[str, int] = {}
+            if val_losses and sum(val_counts) > 0:
+                val_metrics["valid_loss"] = float(
+                    np.average(val_losses, weights=val_counts))
+                val_metric_counts["valid_loss"] = int(sum(val_counts))
             if self.num_eval_files > 0:
                 key, sub = jax.random.split(key)
-                val_metrics.update(evaluate_files(
+                eval_metrics, eval_counts = evaluate_files(
                     fdbm, state.ema_params, valid_set, self.num_eval_files,
-                    sub, sample_dir=self.sample_dir, epoch=epoch))
+                    sub, sample_dir=self.sample_dir, epoch=epoch)
+                val_metrics.update(eval_metrics)
+                val_metric_counts.update(eval_counts)
             if val_metrics:
-                # sync_dist equivalent: average metrics across hosts
+                # sync_dist equivalent: item-count-weighted mean across hosts
                 from fdbm_tpu.parallel.distributed import all_gather_host_metrics
 
-                val_metrics = all_gather_host_metrics(val_metrics)
+                val_metrics = all_gather_host_metrics(val_metrics,
+                                                      val_metric_counts)
                 self.logger.log(step, val_metrics)
             self.ckpt.save(state, val_metrics)
             epoch += 1

@@ -20,6 +20,12 @@ from infer_single import load_model_from_ckpt
 
 
 def main():
+    # Multi-host runtime wiring (no-op on a single host): after this,
+    # jax.devices() spans the pod and process_index()/process_count()
+    # drive file sharding (reference DDP/rank semantics).
+    from fdbm_tpu.parallel import initialize
+
+    initialize()
     ap = argparse.ArgumentParser()
     ap.add_argument("-C", "--config", required=True)
     ap.add_argument("--slot", default="last")

@@ -23,6 +23,12 @@ from fdbm_tpu.train import Trainer
 
 
 def main():
+    # Multi-host runtime wiring (no-op on a single host): after this,
+    # jax.devices() spans the pod and process_index()/process_count()
+    # drive file sharding (reference DDP/rank semantics).
+    from fdbm_tpu.parallel import initialize
+
+    initialize()
     ap = argparse.ArgumentParser()
     ap.add_argument("-C", "--config", required=True)
     ap.add_argument("-D", "--devices", type=int, default=None)
