@@ -79,11 +79,15 @@ class _RnnPath(nn.Module):
 
         # ConvTranspose1d(2H -> C, kernel ks, stride 1) == dense to [ks, C]
         # then overlap-add of the ks taps (output length L+ks-1 == seq).
-        z = nn.Dense(ks * c, dtype=self.dtype, name="deconv")(out)
+        # The bias is added once per *output position* (ConvTranspose1d
+        # semantics), not once per tap, so it lives outside the fold.
+        z = nn.Dense(ks * c, dtype=self.dtype, use_bias=False, name="deconv")(out)
         z = z.reshape(b * other, L, ks, c)
         folded = jnp.zeros((b * other, seq, c), z.dtype)
         for j in range(ks):
             folded = folded.at[:, j : j + L, :].add(z[:, :, j, :])
+        d_bias = self.param("deconv_bias", nn.initializers.zeros, (c,))
+        folded = folded + d_bias.astype(folded.dtype)
 
         folded = folded.reshape(b, other, seq, c)
         if seq_axis == 1:
