@@ -43,15 +43,41 @@ def snr_db(s: np.ndarray, n: np.ndarray) -> float:
 
 
 def pesq_wb(sr: int, ref: np.ndarray, deg: np.ndarray) -> Optional[float]:
-    """Wideband PESQ via the optional `pesq` package; None if unavailable."""
+    """Wideband PESQ MOS-LQO.
+
+    Uses the ITU `pesq` package when importable; otherwise falls back to
+    the vendored P.862.2-pipeline estimator (fdbm_tpu.pesq_loss.pesq_mos —
+    same perceptual model structure, analytic band tables; see that
+    module's docstring for the documented deviations). The fallback keeps
+    eval-time PESQ logging and the `best_pesq` checkpoint slot live in
+    images without the ITU binding.
+    """
     try:
         from pesq import pesq as _pesq
+
+        try:
+            return float(_pesq(sr, ref, deg, "wb"))
+        except Exception as e:  # pesq raises on silence/NaN inputs
+            warnings.warn(f"PESQ failed: {e}")
+            return None
     except ImportError:
+        pass
+    if sr != 16000:
         return None
     try:
-        return float(_pesq(sr, ref, deg, "wb"))
-    except Exception as e:  # pesq raises on silence/NaN inputs
-        warnings.warn(f"PESQ failed: {e}")
+        import jax.numpy as jnp
+
+        from fdbm_tpu.pesq_loss import pesq_mos
+
+        L = min(len(ref), len(deg))
+        if L < 1024:
+            return None
+        mos = pesq_mos(jnp.asarray(ref[None, :L], jnp.float32),
+                       jnp.asarray(deg[None, :L], jnp.float32))
+        val = float(np.asarray(mos)[0])
+        return val if np.isfinite(val) else None
+    except Exception as e:
+        warnings.warn(f"vendored PESQ failed: {e}")
         return None
 
 

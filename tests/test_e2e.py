@@ -55,6 +55,11 @@ def test_train_eval_infer_cycle(wav_root, tmp_path):
     recs = [json.loads(l) for l in lines]
     assert any("valid_loss" in r for r in recs)
     assert any("si_sdr" in r for r in recs)
+    # eval-time PESQ is live via the vendored estimator, and the best_pesq
+    # checkpoint slot gets exercised (reference model.py:346-348,
+    # train.py:147-150)
+    assert any("pesq" in r for r in recs)
+    assert os.path.isdir(os.path.join(log_dir, "checkpoints", "best_pesq"))
     # sample wavs dumped
     samples = os.listdir(os.path.join(log_dir, "valid_samples"))
     assert any(s.endswith("_enh.wav") for s in samples)
