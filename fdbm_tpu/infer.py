@@ -103,6 +103,40 @@ class BucketedEnhancer:
             self._jitted[length] = fn
         return fn
 
+    def prewarm(self, lengths: Sequence[int],
+                batch_sizes: Optional[Sequence[int]] = None) -> float:
+        """Compile all (bucket length, batch) shapes CONCURRENTLY.
+
+        XLA compiles each program on its own thread pool but `jax.jit`
+        dispatch is lazy per shape — a folder sweep otherwise pays each
+        bucket's compile serially as it reaches it (minutes each for
+        unrolled N=30 samplers on this toolchain). AOT-lowering every
+        expected shape from a thread pool overlaps the compiles.
+
+        Returns wall seconds spent. Threads only trigger compilation; the
+        cached executables are reused by enhance_many via jax.jit's
+        C++ fast-path cache.
+        """
+        import time as _time
+        from concurrent.futures import ThreadPoolExecutor
+
+        t0 = _time.perf_counter()
+        sizes = list(batch_sizes or [self.batch_size])
+        key = jax.random.PRNGKey(0)
+
+        def compile_one(args):
+            blen, bs = args
+            fn = self._get_fn(blen)
+            dummy = jnp.zeros((bs, blen), jnp.float32)
+            # trigger trace+compile; result discarded
+            fn(self.params, dummy, key).block_until_ready()
+
+        jobs = [(self._bucket_length(l), bs) for l in lengths for bs in sizes]
+        jobs = sorted(set(jobs))
+        with ThreadPoolExecutor(max_workers=min(8, len(jobs) or 1)) as pool:
+            list(pool.map(compile_one, jobs))
+        return _time.perf_counter() - t0
+
     @staticmethod
     def _normalise(y: np.ndarray, mode: str) -> Tuple[np.ndarray, float]:
         if mode == "noisy":
@@ -153,7 +187,11 @@ class BucketedEnhancer:
             fn = self._get_fn(blen)
             for s in range(0, len(idxs), self.batch_size):
                 chunk = idxs[s : s + self.batch_size]
-                pad_to = len(chunk)
+                # always run at the full batch shape (zero rows, outputs
+                # discarded): one compiled program per bucket instead of
+                # one per (bucket, remainder) pair — compiles cost minutes
+                # on this toolchain, wasted rows cost milliseconds.
+                pad_to = self.batch_size
                 batch = np.zeros((pad_to, blen), np.float32)
                 norms = np.ones(pad_to, np.float32)
                 for j, i in enumerate(chunk):
@@ -255,6 +293,16 @@ def enhance_folder(
         except Exception as e:
             print(f"[skip] {path}: {e}")
             stats.failures += 1
+
+    # Compile every bucket shape concurrently before the sweep — unrolled
+    # N=30 samplers take minutes each to compile serially on this
+    # toolchain (BENCH_NOTES.md).
+    if todo:
+        secs = enhancer.prewarm([len(a) for _, a in todo],
+                                batch_sizes=[batch_size])
+        if progress:
+            print(f"prewarmed {len(enhancer._jitted)} bucket shapes "
+                  f"in {secs:.0f}s", flush=True)
 
     # Sort by length for dense bucketing, enhance in chunks.
     order = sorted(range(len(todo)), key=lambda i: len(todo[i][1]))

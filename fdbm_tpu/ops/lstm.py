@@ -454,7 +454,14 @@ def bilstm_pallas_train(x: Array, w_ih: Array, w_hh: Array, bias: Array) -> Arra
 
 def bilstm_pallas(x: Array, w_ih: Array, w_hh: Array, bias: Array,
                   mxu_bf16: bool = False) -> Array:
-    """Bidirectional LSTM via two Pallas recurrence kernels.
+    """Bidirectional LSTM via ONE fused Pallas recurrence kernel.
+
+    Both directions advance inside the same kernel step: the backward
+    direction reads its input blocks through a reversed index map (no HBM
+    flip of the sequence), and the two directions' gate nonlinearities are
+    evaluated on a single stacked [2*tile_b, 4H] vector op — doubling VPU
+    op width on the transcendental-bound inner loop and letting Mosaic
+    overlap one direction's recurrent matmul with the other's VPU work.
 
     Args:
       x:    [B, S, D] inputs.
@@ -467,11 +474,149 @@ def bilstm_pallas(x: Array, w_ih: Array, w_hh: Array, bias: Array,
       [B, S, 2H] — same contract as models.layers.BiLSTM.
     """
     xs = jnp.swapaxes(x, 0, 1)  # [S, B, D]
-    fwd = lstm_forward_pallas(xs, w_ih[0], w_hh[0], bias[0], reverse=False,
-                              mxu_bf16=mxu_bf16)
-    bwd = lstm_forward_pallas(xs, w_ih[1], w_hh[1], bias[1], reverse=True,
-                              mxu_bf16=mxu_bf16)
-    # [S, B, H] -> [B, S, H]
-    fwd = jnp.swapaxes(fwd, 0, 1)
-    bwd = jnp.swapaxes(bwd, 0, 1)
-    return jnp.concatenate([fwd, bwd], axis=-1)
+    fwd, bwd = bilstm_fused_forward(xs, w_ih, w_hh, bias, mxu_bf16=mxu_bf16)
+    return jnp.concatenate(
+        [jnp.swapaxes(fwd, 0, 1), jnp.swapaxes(bwd, 0, 1)], axis=-1)
+
+
+def _bilstm_fused_kernel(xf_ref, xb_ref, w_ih_ref, w_hh_ref, bias_ref,
+                         outf_ref, outb_ref, h_scr, c_scr,
+                         *, chunk_s: int, hidden: int, mxu_bf16: bool):
+    """One (b_tile, s_chunk) grid step advancing BOTH directions chunk_s
+    steps. xf_ref holds block j of the sequence, xb_ref block n-1-j (via
+    its index map); the backward direction walks its block back-to-front,
+    so its hidden states are emitted already in original time order.
+
+    h_scr/c_scr: [2*tile_b, H] — fwd carry rows 0:tile_b, bwd tile_b:.
+    """
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        h_scr[:] = jnp.zeros_like(h_scr)
+        c_scr[:] = jnp.zeros_like(c_scr)
+
+    mm_dt = jnp.bfloat16 if mxu_bf16 else jnp.float32
+    tile_b = xf_ref.shape[1]
+    d = xf_ref.shape[2]
+    # Project both chunks' inputs: one [2*chunk*tile_b, D] stack would need
+    # per-direction weights anyway, so two MXU matmuls (they pipeline).
+    xgf = jnp.dot(xf_ref[:].reshape(chunk_s * tile_b, d).astype(mm_dt),
+                  w_ih_ref[0].astype(mm_dt),
+                  preferred_element_type=jnp.float32) + bias_ref[0, 0]
+    xgb = jnp.dot(xb_ref[:].reshape(chunk_s * tile_b, d).astype(mm_dt),
+                  w_ih_ref[1].astype(mm_dt),
+                  preferred_element_type=jnp.float32) + bias_ref[0, 1]
+    xgf = xgf.reshape(chunk_s, tile_b, 4 * hidden)
+    xgb = xgb.reshape(chunk_s, tile_b, 4 * hidden)
+
+    whf = w_hh_ref[0].astype(mm_dt)
+    whb = w_hh_ref[1].astype(mm_dt)
+    for s in range(chunk_s):
+        sb = chunk_s - 1 - s  # backward direction's in-block position
+        h = h_scr[:].astype(mm_dt)
+        gf = xgf[s] + jnp.dot(h[:tile_b], whf,
+                              preferred_element_type=jnp.float32)
+        gb = xgb[sb] + jnp.dot(h[tile_b:], whb,
+                               preferred_element_type=jnp.float32)
+        gates = jnp.concatenate([gf, gb], axis=0)  # [2*tile_b, 4H]
+        i = jax.nn.sigmoid(gates[:, 0 * hidden : 1 * hidden])
+        f = jax.nn.sigmoid(gates[:, 1 * hidden : 2 * hidden])
+        g = jnp.tanh(gates[:, 2 * hidden : 3 * hidden])
+        o = jax.nn.sigmoid(gates[:, 3 * hidden : 4 * hidden])
+        c = f * c_scr[:] + i * g
+        hn = o * jnp.tanh(c)
+        c_scr[:] = c
+        h_scr[:] = hn
+        outf_ref[s] = hn[:tile_b]
+        outb_ref[sb] = hn[tile_b:]
+
+
+@functools.partial(jax.jit, static_argnames=("mxu_bf16",))
+def bilstm_fused_forward(x: Array, w_ih: Array, w_hh: Array, bias: Array,
+                         mxu_bf16: bool = False):
+    """Fused both-direction LSTM over [S, B, D] inputs.
+
+    Returns (fwd, bwd) hidden states, both [S, B, H] in ORIGINAL time
+    order (the backward pass un-reverses inside the kernel).
+    """
+    s_len, b, d = x.shape
+    hidden = w_hh.shape[1]
+
+    hp = _round_up(hidden, LANE)
+    dp = _round_up(d, LANE)
+    w_ih_p = jnp.stack([_pad_gate_cols(w_ih[z], hidden, hp) for z in range(2)])
+    w_hh_p = jnp.stack([_pad_gate_cols(w_hh[z], hidden, hp) for z in range(2)])
+    bias_p = jnp.stack([_pad_gate_cols(bias[z][None, :], hidden, hp)[0]
+                        for z in range(2)])[None]  # [1, 2, 4H']
+    if dp != d:
+        w_ih_p = jnp.pad(w_ih_p, ((0, 0), (0, dp - d), (0, 0)))
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, dp - d)))
+    if hp != hidden:
+        w_hh_p = jnp.pad(w_hh_p, ((0, 0), (0, hp - hidden), (0, 0)))
+
+    tile_b = min(_round_up(b, 8), 128)
+    bp = _round_up(b, tile_b)
+    chunk_s = 16
+    sp = _round_up(s_len, chunk_s)
+    if bp != b or sp != s_len:
+        x = jnp.pad(x, ((0, sp - s_len), (0, bp - b), (0, 0)))
+
+    n_chunks = sp // chunk_s
+    grid = (bp // tile_b, n_chunks)
+
+    # Backward stream: front-pad the sequence so the padding (sp - s_len
+    # zero steps) is consumed BEFORE the real data when walking from the
+    # end — this makes the backward carry at the last real frame exactly
+    # zero-initialised, matching torch. Equivalently, give the backward
+    # stream its own front-padded copy of x.
+    if sp != s_len:
+        xb = jnp.zeros_like(x)
+        xb = xb.at[sp - s_len :].set(x[:s_len])
+    else:
+        xb = x
+
+    outf, outb = pl.pallas_call(
+        functools.partial(_bilstm_fused_kernel, chunk_s=chunk_s, hidden=hp,
+                          mxu_bf16=mxu_bf16),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((chunk_s, tile_b, dp), lambda i, j: (j, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk_s, tile_b, dp),
+                         lambda i, j: (pl.num_programs(1) - 1 - j, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, dp, 4 * hp), lambda i, j: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, hp, 4 * hp), lambda i, j: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2, 4 * hp), lambda i, j: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((chunk_s, tile_b, hp), lambda i, j: (j, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk_s, tile_b, hp),
+                         lambda i, j: (pl.num_programs(1) - 1 - j, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((sp, bp, hp), jnp.float32),
+            jax.ShapeDtypeStruct((sp, bp, hp), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2 * tile_b, hp), jnp.float32),
+            pltpu.VMEM((2 * tile_b, hp), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=_use_interpret(),
+    )(x.astype(jnp.float32), xb.astype(jnp.float32),
+      w_ih_p.astype(jnp.float32), w_hh_p.astype(jnp.float32),
+      bias_p.astype(jnp.float32))
+
+    fwd = outf[:s_len, :b, :hidden]
+    if sp != s_len:
+        bwd = outb[sp - s_len :, :b, :hidden]
+    else:
+        bwd = outb[:, :b, :hidden]
+    return fwd, bwd

@@ -125,3 +125,14 @@ def test_pallas_train_forward_matches_infer():
     o1 = bilstm_pallas(x, w_ih, w_hh, bias)
     o2 = bilstm_pallas_train(x, w_ih, w_hh, bias)
     np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), atol=1e-6)
+
+
+def test_fused_bilstm_aligned_sequence():
+    """Fused kernel's no-padding branch (S multiple of 16) matches scan."""
+    key = jax.random.PRNGKey(2)
+    d, h, b, s = 16, 12, 4, 32
+    w_ih, w_hh, bias = _params(key, d, h)
+    x = jax.random.normal(jax.random.PRNGKey(3), (b, s, d))
+    ref = _scan_reference(x, w_ih, w_hh, bias)
+    got = bilstm_pallas(x, w_ih, w_hh, bias)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
