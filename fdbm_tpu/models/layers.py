@@ -122,7 +122,10 @@ class BiLSTM(nn.Module):
         if self.use_pallas:
             from fdbm_tpu.ops.lstm import bilstm_pallas
 
-            return bilstm_pallas(x.astype(jnp.float32), w_ih, w_hh, bias
+            # the kernel streams x/outputs in x's dtype (bf16 under
+            # inference_dtype=bfloat16 halves the HBM-bound traffic);
+            # recurrence math inside is fp32 either way
+            return bilstm_pallas(x.astype(self.dtype), w_ih, w_hh, bias
                                  ).astype(self.dtype)
 
         dt = self.dtype

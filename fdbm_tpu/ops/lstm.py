@@ -494,7 +494,11 @@ def _bilstm_fused_kernel(xf_ref, xb_ref, w_ih_ref, w_hh_ref, bias_ref,
         h_scr[:] = jnp.zeros_like(h_scr)
         c_scr[:] = jnp.zeros_like(c_scr)
 
-    mm_dt = jnp.bfloat16 if mxu_bf16 else jnp.float32
+    # io dtype follows the refs (bf16 halves the dominant HBM streams —
+    # this program is HBM-bandwidth-bound, see BENCH_NOTES); math is fp32
+    # (bf16 MXU operands when the input is already bf16 or mxu_bf16 set).
+    io_dt = outf_ref.dtype
+    mm_dt = jnp.bfloat16 if (mxu_bf16 or io_dt == jnp.bfloat16) else jnp.float32
     tile_b = xf_ref.shape[1]
     d = xf_ref.shape[2]
     # Project both chunks' inputs: one [2*chunk*tile_b, D] stack would need
@@ -526,8 +530,8 @@ def _bilstm_fused_kernel(xf_ref, xb_ref, w_ih_ref, w_hh_ref, bias_ref,
         hn = o * jnp.tanh(c)
         c_scr[:] = c
         h_scr[:] = hn
-        outf_ref[s] = hn[:tile_b]
-        outb_ref[sb] = hn[tile_b:]
+        outf_ref[s] = hn[:tile_b].astype(io_dt)
+        outb_ref[sb] = hn[tile_b:].astype(io_dt)
 
 
 @functools.partial(jax.jit, static_argnames=("mxu_bf16",))
@@ -536,10 +540,13 @@ def bilstm_fused_forward(x: Array, w_ih: Array, w_hh: Array, bias: Array,
     """Fused both-direction LSTM over [S, B, D] inputs.
 
     Returns (fwd, bwd) hidden states, both [S, B, H] in ORIGINAL time
-    order (the backward pass un-reverses inside the kernel).
+    order (the backward pass un-reverses inside the kernel). The x/output
+    streams keep x's dtype (pass bf16 to halve the HBM traffic of the
+    dominant streams; recurrence math stays fp32 with an fp32 carry).
     """
     s_len, b, d = x.shape
     hidden = w_hh.shape[1]
+    io_dt = x.dtype if x.dtype in (jnp.bfloat16, jnp.float32) else jnp.float32
 
     hp = _round_up(hidden, LANE)
     dp = _round_up(d, LANE)
@@ -553,7 +560,11 @@ def bilstm_fused_forward(x: Array, w_ih: Array, w_hh: Array, bias: Array,
     if hp != hidden:
         w_hh_p = jnp.pad(w_hh_p, ((0, 0), (0, hp - hidden), (0, 0)))
 
-    tile_b = min(_round_up(b, 8), 128)
+    # tile_b capped at 64 (vs 128 single-direction): the fused kernel holds
+    # BOTH directions' chunk projections ([chunk_s, tile_b, 4H] each) on
+    # the VMEM stack — 128 tiles overflow the 16 MB scoped limit. The
+    # stacked gate math still runs at full [2*tile_b=128, 4H] VPU width.
+    tile_b = min(_round_up(b, 8), 64)
     bp = _round_up(b, tile_b)
     chunk_s = 16
     sp = _round_up(s_len, chunk_s)
@@ -599,8 +610,8 @@ def bilstm_fused_forward(x: Array, w_ih: Array, w_hh: Array, bias: Array,
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((sp, bp, hp), jnp.float32),
-            jax.ShapeDtypeStruct((sp, bp, hp), jnp.float32),
+            jax.ShapeDtypeStruct((sp, bp, hp), io_dt),
+            jax.ShapeDtypeStruct((sp, bp, hp), io_dt),
         ],
         scratch_shapes=[
             pltpu.VMEM((2 * tile_b, hp), jnp.float32),
@@ -610,7 +621,7 @@ def bilstm_fused_forward(x: Array, w_ih: Array, w_hh: Array, bias: Array,
             dimension_semantics=("parallel", "arbitrary"),
         ),
         interpret=_use_interpret(),
-    )(x.astype(jnp.float32), xb.astype(jnp.float32),
+    )(x.astype(io_dt), xb.astype(io_dt),
       w_ih_p.astype(jnp.float32), w_hh_p.astype(jnp.float32),
       bias_p.astype(jnp.float32))
 
