@@ -37,6 +37,9 @@ def load_model_from_ckpt(ckpt_dir: str, slot: str = "best_pesq",
 
 
 def main():
+    from fdbm_tpu.utils.compilation_cache import setup_compilation_cache
+
+    setup_compilation_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("-C", "--config", required=True)
     ap.add_argument("--slot", default="last", help="checkpoint slot to load")

@@ -35,8 +35,10 @@ def main():
     # jax.devices() spans the pod and process_index()/process_count()
     # drive file sharding (reference DDP/rank semantics).
     from fdbm_tpu.parallel import initialize
+    from fdbm_tpu.utils.compilation_cache import setup_compilation_cache
 
     initialize()
+    setup_compilation_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("-C", "--config", required=True)
     ap.add_argument("-D", "--devices", type=int, default=None,
