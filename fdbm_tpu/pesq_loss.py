@@ -120,14 +120,23 @@ def _loudness(band_pow: Array, thr: Array, gamma: float = 0.23,
     return jnp.where(ratio > 1.0, l, 0.0)
 
 
+@functools.lru_cache(maxsize=16)
+def _smooth_matrix(t: int) -> np.ndarray:
+    """Closed form of h[t] = 0.8 h[t-1] + 0.2 r[t], h[0] = r[0], as a
+    lower-triangular [T, T] weight matrix (one parallel matmul instead of
+    a sequential scan — XLA while-loops compile pathologically slowly on
+    the target toolchain, BENCH_NOTES.md)."""
+    k = np.arange(t)
+    delta = k[:, None] - k[None, :]
+    w = np.where(delta >= 0, 0.2 * 0.8 ** np.maximum(delta, 0), 0.0)
+    w[:, 0] = 0.8 ** k  # initial condition h[0] = r[0]
+    return w.astype(np.float32)
+
+
 def _smooth_gain(ratio: Array) -> Array:
     """First-order recursive smoothing h[t] = 0.8 h[t-1] + 0.2 r[t]."""
-    def step(h, r):
-        h = 0.8 * h + 0.2 * r
-        return h, h
-
-    _, out = jax.lax.scan(step, ratio[:, 0], jnp.moveaxis(ratio, 1, 0))
-    return jnp.moveaxis(out, 0, 1)
+    w = jnp.asarray(_smooth_matrix(ratio.shape[1]))
+    return jnp.einsum("bk,tk->bt", ratio, w)
 
 
 def pesq_disturbances(ref: Array, deg: Array,

@@ -256,3 +256,107 @@ def ncsnpp_from_torch(sd: Mapping[str, np.ndarray],
 
     p["output_layer"] = _dense_from_1x1(sd, "output_layer")
     return _to_jax(p)
+
+
+# ---------------------------------------------------------------------------
+# Reference Lightning checkpoint import (migration path)
+# ---------------------------------------------------------------------------
+
+# backbone registry name -> (converter kwargs); mirrors the reference
+# presets (ncsnpp_v2.py:404-453, tfgridnet.py:487-510)
+_TFGRIDNET_PRESETS = {
+    "tfgridnet_5l32c100": dict(n_layers=5, emb_dim=32),
+    "tfgridnet_4l32c80": dict(n_layers=4, emb_dim=32),
+    "tfgridnet_5l32c100_predictive": dict(n_layers=5, emb_dim=32,
+                                          time_conditioned=False),
+    "tfgridnet_4l32c80_predictive": dict(n_layers=4, emb_dim=32,
+                                         time_conditioned=False),
+}
+_NCSNPP_PRESETS = {
+    "ncsnpp_v2": dict(nf=128, ch_mult=(1, 1, 2, 2, 2, 2, 2),
+                      num_res_blocks=2, attn_resolutions=(16,)),
+    "ncsnpp_v2_5M": dict(nf=96, ch_mult=(1, 1, 1, 1), num_res_blocks=1,
+                         attn_resolutions=(0,)),
+    "ncsnpp_v2_16M": dict(nf=64, ch_mult=(1, 1, 2, 2, 2, 2, 2),
+                          num_res_blocks=2, attn_resolutions=(0,)),
+    "ncsnpp_v2_37M": dict(nf=96, ch_mult=(1, 1, 2, 2, 2, 2, 2),
+                          num_res_blocks=2, attn_resolutions=(16,)),
+    "ncsnpp_v2_predictive": dict(nf=128, ch_mult=(1, 1, 2, 2, 2, 2, 2),
+                                 num_res_blocks=2, attn_resolutions=(16,),
+                                 time_conditioned=False),
+    "ncsnpp_v2_5M_predictive": dict(nf=96, ch_mult=(1, 1, 1, 1),
+                                    num_res_blocks=1, attn_resolutions=(0,),
+                                    time_conditioned=False),
+}
+
+
+def backbone_params_from_torch(backbone: str,
+                               sd: Mapping[str, np.ndarray]) -> Dict:
+    """Convert a reference backbone state_dict by registry name."""
+    if backbone in _TFGRIDNET_PRESETS:
+        return tfgridnet_from_torch(sd, **_TFGRIDNET_PRESETS[backbone])
+    if backbone in _NCSNPP_PRESETS:
+        return ncsnpp_from_torch(sd, **_NCSNPP_PRESETS[backbone])
+    raise ValueError(f"No torch-import preset for backbone {backbone!r}")
+
+
+def _apply_ema_shadow(sd: Dict[str, np.ndarray], ema_state) -> Dict[str, np.ndarray]:
+    """Overwrite trainable params with torch_ema shadow values.
+
+    torch_ema tracks ``[p for p in model.parameters() if p.requires_grad]``
+    in registration order; the only requires_grad=False parameters in the
+    reference backbones are the GaussianFourierProjection W vectors
+    (layerspp.py:36, shared.py). state_dict order equals registration
+    order for parameters (neither backbone registers buffers).
+    """
+    shadow = [t.detach().cpu().numpy() for t in ema_state["shadow_params"]]
+    trainable = [k for k in sd if not _is_gfp_key(k)]
+    if len(trainable) != len(shadow):
+        raise ValueError(
+            f"EMA shadow has {len(shadow)} tensors but checkpoint has "
+            f"{len(trainable)} trainable params — cannot align")
+    out = dict(sd)
+    for k, v in zip(trainable, shadow):
+        if out[k].shape != v.shape:
+            raise ValueError(f"EMA shape mismatch at {k}: "
+                             f"{out[k].shape} vs {v.shape}")
+        out[k] = v
+    return out
+
+
+def _is_gfp_key(k: str) -> bool:
+    """GaussianFourierProjection W (requires_grad=False in the reference)."""
+    return k in ("get_time_emb.W", "all_modules.0.W")
+
+
+def load_reference_checkpoint(path: str, use_ema: bool = True):
+    """Load a reference PyTorch-Lightning ``.ckpt`` file.
+
+    Returns ``(config_dict, flax_params)``: the checkpoint's saved
+    hyper_parameters (keys compatible with FDBMConfig.from_dict — the
+    reference's save_hyperparameters() stores the same YAML surface,
+    fdbm/model.py:69) and this framework's parameter tree, with the
+    torch_ema shadow weights applied when present (the reference swaps
+    EMA weights in for inference, fdbm/model.py:146-160).
+    """
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    hp = {k: v for k, v in dict(ckpt.get("hyper_parameters", {})).items()
+          if isinstance(v, (int, float, str, bool, dict, list, tuple))
+          or v is None}
+    state = ckpt.get("state_dict", ckpt)
+    dnn_sd = {k[len("dnn."):]: v for k, v in state.items()
+              if k.startswith("dnn.")}
+    if not dnn_sd:
+        dnn_sd = state  # bare backbone state_dict (load_state_dict_for_dnn)
+    sd = {k: v.detach().cpu().numpy() for k, v in dnn_sd.items()}
+    if use_ema and isinstance(ckpt.get("ema"), dict) \
+            and "shadow_params" in ckpt["ema"]:
+        sd = _apply_ema_shadow(sd, ckpt["ema"])
+    backbone = hp.get("backbone")
+    if backbone is None:
+        raise ValueError(f"{path} has no 'backbone' hyperparameter; pass a "
+                         f"Lightning checkpoint saved by the reference")
+    params = backbone_params_from_torch(backbone, sd)
+    return hp, params

@@ -20,7 +20,16 @@ from fdbm_tpu.model import FDBM, FDBMConfig
 def load_model_from_ckpt(ckpt_dir: str, slot: str = "best_pesq",
                          overrides: dict | None = None):
     """Rebuild the model from a checkpoint's self-describing config
-    (reference uses Lightning load_from_checkpoint, infer_single.py:54)."""
+    (reference uses Lightning load_from_checkpoint, infer_single.py:54).
+
+    ``ckpt_dir`` may also be a reference PyTorch-Lightning ``.ckpt`` FILE:
+    weights (EMA shadow when present) and hyperparameters are imported via
+    fdbm_tpu.utils.torch_port — the migration path for users bringing
+    checkpoints trained with the reference."""
+    import os
+
+    if os.path.isfile(ckpt_dir) and ckpt_dir.endswith(".ckpt"):
+        return load_model_from_torch_ckpt(ckpt_dir, overrides)
     cfg_blob = load_checkpoint_config(ckpt_dir)
     if overrides:
         cfg_blob = {**cfg_blob, **{k: v for k, v in overrides.items() if v is not None}}
@@ -33,6 +42,21 @@ def load_model_from_ckpt(ckpt_dir: str, slot: str = "best_pesq",
     abstract = jax.tree_util.tree_map(
         lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), state)
     state = mgr.restore(use_slot, abstract)
+    return fdbm, state
+
+
+def load_model_from_torch_ckpt(ckpt_file: str, overrides: dict | None = None):
+    """Import a reference Lightning checkpoint (see utils/torch_port.py)."""
+    from fdbm_tpu.utils.torch_port import load_reference_checkpoint
+
+    hp, params = load_reference_checkpoint(ckpt_file, use_ema=True)
+    if overrides:
+        hp = {**hp, **{k: v for k, v in overrides.items() if v is not None}}
+    fdbm = FDBM(FDBMConfig.from_dict(hp))
+    state = fdbm.init_state(jax.random.PRNGKey(0))
+    state = state.replace(params=params, ema_params=params)
+    print(f"imported reference checkpoint {ckpt_file} "
+          f"(backbone={hp.get('backbone')})")
     return fdbm, state
 
 

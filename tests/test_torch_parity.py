@@ -199,6 +199,66 @@ def test_end_to_end_enhancement_matches_reference():
     assert si_sdr > 40.0, f"end-to-end SI-SDR {si_sdr:.1f} dB"
 
 
+def test_reference_lightning_checkpoint_import(tmp_path):
+    """A reference-format Lightning .ckpt (state_dict with 'dnn.' prefix,
+    hyper_parameters, torch_ema shadow) imports into a working model whose
+    output matches the EMA weights, and the infer CLI loader accepts it."""
+    from fdbm.backbones.tfgridnet import TFGridNet_4l32c80
+
+    torch.manual_seed(4)
+    dnn = TFGridNet_4l32c80().eval()
+
+    # torch_ema semantics: shadow over requires_grad params in order;
+    # fabricate a shadow distinct from the raw weights
+    shadow = [p.detach().clone() * 0.9 + 0.01
+              for p in dnn.parameters() if p.requires_grad]
+    ckpt = {
+        "state_dict": {f"dnn.{k}": v for k, v in dnn.state_dict().items()},
+        "hyper_parameters": {
+            "backbone": "tfgridnet_4l32c80", "bridge": "sb",
+            "noise_schedule": "bb", "sampler_type": "ode_ei", "N": 3,
+            "n_fft": 512, "hop_length": 256, "num_frames": 64,
+            "sr": 16000, "lr": 1e-4, "data_module_cls": object,  # dropped
+        },
+        "ema": {"shadow_params": shadow, "num_updates": 1234, "decay": 0.999},
+    }
+    path = tmp_path / "ref_model.ckpt"
+    torch.save(ckpt, str(path))
+
+    from fdbm_tpu.utils.torch_port import load_reference_checkpoint
+
+    hp, params = load_reference_checkpoint(str(path))
+    assert hp["backbone"] == "tfgridnet_4l32c80"
+    assert "data_module_cls" not in hp  # non-serialisable hparams dropped
+
+    # output equals the torch model with the EMA shadow swapped in
+    with torch.no_grad():
+        for p, s in zip((p for p in dnn.parameters() if p.requires_grad),
+                        shadow):
+            p.copy_(s)
+    rng = np.random.default_rng(4)
+    x = _complex_randn(rng, (1, 1, 17, 16)) * 0.3
+    y = _complex_randn(rng, (1, 1, 17, 16)) * 0.3
+    tvec = np.array([0.6], np.float32)
+    with torch.no_grad():
+        ref_out = dnn(torch.from_numpy(x), torch.from_numpy(y),
+                      torch.from_numpy(tvec)).numpy()
+    flax_model = BackboneRegistry.get_by_name("tfgridnet_4l32c80")()
+    out = np.asarray(flax_model.apply(params, jnp.asarray(x), jnp.asarray(y),
+                                      jnp.asarray(tvec)))
+    assert _rel_err(out, ref_out) < 1e-4
+
+    # the CLI loader path accepts the .ckpt file directly
+    sys.path.insert(0, "/root/repo")
+    from infer_single import load_model_from_ckpt
+
+    fdbm, state = load_model_from_ckpt(str(path))
+    assert fdbm.cfg.backbone == "tfgridnet_4l32c80"
+    out2 = np.asarray(fdbm.dnn.apply(state.ema_params, jnp.asarray(x),
+                                     jnp.asarray(y), jnp.asarray(tvec)))
+    assert _rel_err(out2, ref_out) < 1e-4
+
+
 def test_ncsnpp_5m_predictive_matches_reference():
     from fdbm.backbones.ncsnpp_v2_predictive import NCSNpp_v2_5M_predictive
 

@@ -53,7 +53,17 @@ def main():
         "log_dir", "version", "num_workers", "num_data_per_epoch", "dummy",
         "accumulate_grad_batches",
     }
-    pretrain_cfg = load_checkpoint_config(cfg["ckpt"])
+    # The pretrain source may be a reference PyTorch-Lightning .ckpt FILE
+    # (weights imported via utils/torch_port — migration path) or this
+    # framework's checkpoint directory.
+    if os.path.isfile(cfg["ckpt"]) and cfg["ckpt"].endswith(".ckpt"):
+        from fdbm_tpu.utils.torch_port import load_reference_checkpoint
+
+        pretrain_cfg, pre_params = load_reference_checkpoint(cfg["ckpt"])
+        print(f"imported reference pretrain checkpoint {cfg['ckpt']}")
+    else:
+        pretrain_cfg = load_checkpoint_config(cfg["ckpt"])
+        pre_params = None
     merged = {**pretrain_cfg,
               **{k: v for k, v in cfg.items()
                  if k in OVERRIDABLE and v is not None}}
@@ -63,11 +73,14 @@ def main():
     fdbm = FDBM(model_cfg)
 
     # Load pretrained params from the bridge checkpoint.
-    state = fdbm.init_state(jax.random.PRNGKey(args.seed))
-    mgr = CheckpointManager(cfg["ckpt"])
-    abstract = jax.tree_util.tree_map(
-        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), state)
-    pre_state = mgr.restore(args.slot if mgr.has(args.slot) else "last", abstract)
+    if pre_params is None:
+        state = fdbm.init_state(jax.random.PRNGKey(args.seed))
+        mgr = CheckpointManager(cfg["ckpt"])
+        abstract = jax.tree_util.tree_map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), state)
+        pre_state = mgr.restore(args.slot if mgr.has(args.slot) else "last",
+                                abstract)
+        pre_params = pre_state.ema_params
 
     data_fields = {f.name for f in DataConfig.__dataclass_fields__.values()}  # type: ignore[attr-defined]
     data_cfg = DataConfig(**{k: v for k, v in merged.items() if k in data_fields})
@@ -86,7 +99,7 @@ def main():
         seed=args.seed,
         config_blob=merged,
     )
-    trainer.fit(resume=False, init_params=pre_state.ema_params)
+    trainer.fit(resume=False, init_params=pre_params)
 
 
 if __name__ == "__main__":
