@@ -55,6 +55,8 @@ def pesq_wb(sr: int, ref: np.ndarray, deg: np.ndarray) -> Optional[float]:
     try:
         from pesq import pesq as _pesq
 
+        if not callable(_pesq):
+            raise ImportError("pesq module present but not usable")
         try:
             return float(_pesq(sr, ref, deg, "wb"))
         except Exception as e:  # pesq raises on silence/NaN inputs
