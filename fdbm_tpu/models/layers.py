@@ -100,8 +100,9 @@ class BiLSTM(nn.Module):
     use_pallas_train: bool = False
 
     @nn.compact
-    def __call__(self, x: Array) -> Array:
-        b, s, d = x.shape
+    def __call__(self, x: Array, *, in_features: int | None = None,
+                 return_params: bool = False):
+        d = in_features if x is None else x.shape[-1]
         h = self.hidden
 
         # torch LSTM init: U(-1/sqrt(hidden), 1/sqrt(hidden)) for all weights
@@ -113,6 +114,12 @@ class BiLSTM(nn.Module):
         w_ih = self.param("w_ih", uinit, (2, d, 4 * h))
         w_hh = self.param("w_hh", uinit, (2, h, 4 * h))
         bias = self.param("bias", uinit, (2, 4 * h))
+        if return_params:
+            # Param-only mode: callers that run the recurrence inside a
+            # larger fused kernel (ops/gridrnn.py) still own the exact same
+            # parameter tree as the compute path.
+            return w_ih, w_hh, bias
+        b, s, _ = x.shape
 
         if self.use_pallas_train:
             from fdbm_tpu.ops.lstm import bilstm_pallas_train

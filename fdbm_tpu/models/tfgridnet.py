@@ -39,6 +39,23 @@ _OLP_KS = 4  # emb_ks
 _OLP_HS = 1  # emb_hs
 
 
+class _DenseKernel(nn.Module):
+    """Param-only twin of ``nn.Dense(features, use_bias=False)``.
+
+    Creates the identical ``kernel`` parameter (same name, shape, init) so
+    the fused-kernel path owns the same checkpoint tree as the Dense it
+    replaces; returns the kernel value instead of computing the matmul.
+    """
+
+    features: int
+
+    @nn.compact
+    def __call__(self, in_features: int) -> Array:
+        return self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (in_features, self.features))
+
+
 class _RnnPath(nn.Module):
     """One intra- or inter- RNN path: LN -> unfold -> BiLSTM -> fold -> +res.
 
@@ -68,24 +85,50 @@ class _RnnPath(nn.Module):
         b, other, seq, _ = h.shape
         # Unfold: windows of ks consecutive positions, stride 1 -> L = seq-3
         L = seq - (ks - 1)
-        windows = jnp.stack([h[:, :, j : j + L, :] for j in range(ks)], axis=-2)
-        # [B, other, L, ks, C] -> [B*other, L, ks*C]
-        seqs = windows.reshape(b * other, L, ks * c)
 
-        out = BiLSTM(hidden=self.hidden, dtype=self.dtype,
-                     use_pallas=self.use_pallas,
-                     use_pallas_train=self.use_pallas_train,
-                     name="bilstm")(seqs)
+        if self.use_pallas and c % 8 == 0:
+            # Inference fast path: ONE Pallas kernel runs
+            # unfold -> BiLSTM -> deconv -> overlap-add so HBM carries only
+            # the raw C-wide line in and the folded C-wide line out (the
+            # program is HBM-bound; the unfused path streams 4x-unfolded
+            # inputs and 2H-wide hidden states). The kernel's out-of-crop
+            # rows (0..2 and L..seq-1) carry pad contamination —
+            # GridNetBlock's olp crop discards exactly those rows, so the
+            # backbone output is unchanged (tests/test_gridrnn.py).
+            from fdbm_tpu.ops.gridrnn import grid_bilstm_fold
 
-        # ConvTranspose1d(2H -> C, kernel ks, stride 1) == dense to [ks, C]
-        # then overlap-add of the ks taps (output length L+ks-1 == seq).
-        # The bias is added once per *output position* (ConvTranspose1d
-        # semantics), not once per tap, so it lives outside the fold.
-        z = nn.Dense(ks * c, dtype=self.dtype, use_bias=False, name="deconv")(out)
-        z = z.reshape(b * other, L, ks, c)
-        folded = jnp.zeros((b * other, seq, c), z.dtype)
-        for j in range(ks):
-            folded = folded.at[:, j : j + L, :].add(z[:, :, j, :])
+            w_ih, w_hh, bias_l = BiLSTM(
+                hidden=self.hidden, dtype=self.dtype, use_pallas=True,
+                name="bilstm")(None, in_features=ks * c, return_params=True)
+            wd = _DenseKernel(ks * c, name="deconv")(2 * self.hidden)
+            hs = jnp.swapaxes(h.reshape(b * other, seq, c), 0, 1)
+            folded = grid_bilstm_fold(
+                hs.astype(self.dtype), w_ih, w_hh, bias_l, wd)
+            folded = jnp.swapaxes(folded, 0, 1)
+        else:
+            windows = jnp.stack(
+                [h[:, :, j : j + L, :] for j in range(ks)], axis=-2)
+            # [B, other, L, ks, C] -> [B*other, L, ks*C]
+            seqs = windows.reshape(b * other, L, ks * c)
+
+            out = BiLSTM(hidden=self.hidden, dtype=self.dtype,
+                         use_pallas=self.use_pallas,
+                         use_pallas_train=self.use_pallas_train,
+                         name="bilstm")(seqs)
+
+            # ConvTranspose1d(2H -> C, kernel ks, stride 1) == dense to
+            # [ks, C] then overlap-add of the ks taps (output length
+            # L+ks-1 == seq). The bias is added once per *output position*
+            # (ConvTranspose1d semantics), so it lives outside the fold.
+            z = nn.Dense(ks * c, dtype=self.dtype, use_bias=False,
+                         name="deconv")(out)
+            z = z.reshape(b * other, L, ks, c)
+            # Overlap-add via pad-and-sum: XLA fuses the ks pads+adds into
+            # one elementwise pass; the equivalent `.at[j:j+L].add` scatter
+            # chain is ks sequential full-array read/write passes.
+            folded = sum(
+                jnp.pad(z[:, :, j, :], ((0, 0), (j, ks - 1 - j), (0, 0)))
+                for j in range(ks))
         d_bias = self.param("deconv_bias", nn.initializers.zeros, (c,))
         folded = folded + d_bias.astype(folded.dtype)
 

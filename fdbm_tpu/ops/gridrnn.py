@@ -1,0 +1,271 @@
+"""Fused TF-GridNet RNN-path Pallas kernel: unfold + BiLSTM + deconv + fold.
+
+The TF-GridNet dual-path block runs, per direction (reference
+fdbm/backbones/tfgridnet.py:341-392):
+
+    unfold(k=4, s=1) -> BiLSTM -> ConvTranspose1d(k=4, s=1)   (overlap-add)
+
+On TPU this program is HBM-bandwidth-bound (BENCH_NOTES roofline), and the
+round-1/2 dataflow moved the 4x-unfolded input stream ([L, B', 4C]) and the
+2H-wide hidden-state stream through HBM around the LSTM kernel. This kernel
+fuses the whole path so HBM only carries the RAW C-wide line in and the
+folded C-wide line out:
+
+  * the unfold never exists in HBM: each grid step reads two adjacent
+    C-wide input blocks and builds the k=4 windows in VMEM by lane
+    concatenation;
+  * both LSTM directions advance in the same kernel step (stacked
+    [2*tile_b, 4H] gate math, like ops/lstm.bilstm_fused_forward); the
+    backward direction reads input blocks through a descending index map
+    and keeps its carry zeroed while in the padded tail, so no separately
+    front-padded input copy is needed;
+  * the deconv projection (Dense 2H -> k*C, no bias) happens in-kernel on
+    the chunk's hidden states, split per direction (rows 0:H of the Dense
+    kernel act on the forward states, rows H:2H on the backward states);
+  * the k-tap overlap-add fold is software-pipelined across grid steps
+    with a 3-row spill carry (forward: same-step write; backward: the
+    write of output block m+1 happens one step delayed, when block m's
+    spill into it is known).
+
+Exactness: the returned rows [3, L-1] (L = seq-3) are bit-comparable to the
+unfused pipeline; rows 0..2 and L..seq-1 are contaminated by sequence-pad
+garbage (backward-direction z values at padded positions fold into the
+first 3 rows; forward ones into the last 3). GridNetBlock crops exactly to
+rows [olp, olp+dim-1] = [3, seq-4] of the padded array, so the contaminated
+rows never reach the model output — see tests/test_gridrnn.py.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from fdbm_tpu.ops.lstm import LANE, _pad_gate_cols, _round_up, _use_interpret
+
+Array = jnp.ndarray
+
+_KS = 4  # unfold kernel size (emb_ks, reference tfgridnet.py)
+_CHUNK = 16
+
+
+def _fold19(z: Array, c: int, tb: int) -> Array:
+    """Overlap-add the k=4 taps of a z chunk.
+
+    z: [_CHUNK, tb, 4*c] tap-major (tap slow, channel fast).
+    Returns [_CHUNK + 3, tb, c]: row r = sum_j z[r-j, :, j*c:(j+1)*c].
+    """
+    acc = None
+    for tap in range(_KS):
+        zj = z[:, :, tap * c : (tap + 1) * c]
+        segs = []
+        if tap:  # Mosaic rejects zero-sized vector operands
+            segs.append(jnp.zeros((tap, tb, c), z.dtype))
+        segs.append(zj)
+        if _KS - 1 - tap:
+            segs.append(jnp.zeros((_KS - 1 - tap, tb, c), z.dtype))
+        part = jnp.concatenate(segs, axis=0)
+        acc = part if acc is None else acc + part
+    return acc
+
+
+def _grid_kernel(xf_cur, xf_nxt, xb_cur, xb_nxt, w_ih, w_hh, bias, wd,
+                 outf, outb, h_scr, c_scr, carry_f, buf_b, hbuf_f, hbuf_b,
+                 *, hidden: int, cdim: int, L: int, n_real: int,
+                 mxu_bf16: bool):
+    """One (b_tile, step) of the fused grid RNN.
+
+    Step j < n_real: advance both directions over z block j (forward) /
+    block m = n_real-1-j (backward); write folded-forward block j and
+    folded-backward block m+1. Step j == n_real: flush the pipelines
+    (forward spill block n_real, backward buffered block 0).
+    """
+    j = pl.program_id(1)
+    tb = xf_cur.shape[1]
+    cs = _CHUNK
+    io_dt = outf.dtype
+    mm_dt = jnp.bfloat16 if (mxu_bf16 or io_dt == jnp.bfloat16) else jnp.float32
+
+    @pl.when(j == 0)
+    def _():
+        h_scr[:] = jnp.zeros_like(h_scr)
+        c_scr[:] = jnp.zeros_like(c_scr)
+        carry_f[:] = jnp.zeros_like(carry_f)
+        buf_b[:] = jnp.zeros_like(buf_b)
+
+    # ---- build k=4 windows in VMEM (lane concat of shifted C-slices) ----
+    def windows(cur, nxt):
+        cat = jnp.concatenate([cur, nxt[:_KS - 1]], axis=0)  # [cs+3, tb, C]
+        return jnp.concatenate(
+            [cat[t : t + cs] for t in range(_KS)], axis=-1)  # [cs, tb, 4C]
+
+    winf = windows(xf_cur[:], xf_nxt[:]).astype(mm_dt)
+    winb = windows(xb_cur[:], xb_nxt[:]).astype(mm_dt)
+
+    xgf = jnp.dot(winf.reshape(cs * tb, _KS * cdim), w_ih[0].astype(mm_dt),
+                  preferred_element_type=jnp.float32) + bias[0, 0]
+    xgb = jnp.dot(winb.reshape(cs * tb, _KS * cdim), w_ih[1].astype(mm_dt),
+                  preferred_element_type=jnp.float32) + bias[0, 1]
+    xgf = xgf.reshape(cs, tb, 4 * hidden)
+    xgb = xgb.reshape(cs, tb, 4 * hidden)
+
+    whf = w_hh[0].astype(mm_dt)
+    whb = w_hh[1].astype(mm_dt)
+    m = n_real - 1 - j  # backward z block (garbage at j == n_real)
+
+    for s in range(cs):
+        sb = cs - 1 - s
+        h = h_scr[:].astype(mm_dt)
+        gf = xgf[s] + jnp.dot(h[:tb], whf, preferred_element_type=jnp.float32)
+        gb = xgb[sb] + jnp.dot(h[tb:], whb, preferred_element_type=jnp.float32)
+        gates = jnp.concatenate([gf, gb], axis=0)  # [2*tb, 4H]
+        i = jax.nn.sigmoid(gates[:, 0 * hidden : 1 * hidden])
+        f = jax.nn.sigmoid(gates[:, 1 * hidden : 2 * hidden])
+        g = jnp.tanh(gates[:, 2 * hidden : 3 * hidden])
+        o = jax.nn.sigmoid(gates[:, 3 * hidden : 4 * hidden])
+        c = f * c_scr[:] + i * g
+        hn = o * jnp.tanh(c)
+        # Backward carry stays zero while its position is in the padded
+        # tail (p >= L), so it enters the last REAL row (p == L-1) fresh —
+        # this replaces round-2's separately front-padded input copy.
+        p_b = m * cs + sb
+        live_b = (p_b < L).astype(jnp.float32)
+        mask = jnp.concatenate(
+            [jnp.ones((tb, 1), jnp.float32),
+             jnp.full((tb, 1), live_b, jnp.float32)], axis=0)
+        c_scr[:] = c * mask
+        h_scr[:] = hn * mask
+        hbuf_f[s] = hn[:tb]
+        hbuf_b[sb] = hn[tb:] * live_b
+
+    # ---- in-kernel deconv projection + fold pipeline --------------------
+    zf = jnp.dot(hbuf_f[:].reshape(cs * tb, hidden), wd[0],
+                 preferred_element_type=jnp.float32).reshape(cs, tb, _KS * cdim)
+    zb = jnp.dot(hbuf_b[:].reshape(cs * tb, hidden), wd[1],
+                 preferred_element_type=jnp.float32).reshape(cs, tb, _KS * cdim)
+    live = (j < n_real).astype(jnp.float32)
+    cf = _fold19(zf, cdim, tb) * live  # [cs+3, tb, C]
+    cb = _fold19(zb, cdim, tb) * live
+
+    pad13 = jnp.zeros((cs - (_KS - 1), tb, cdim), jnp.float32)
+    # forward: block j = cf[0:16] + spill-from-below at rows 0..2
+    outf[:] = (cf[:cs] + jnp.concatenate([carry_f[:], pad13], axis=0)
+               ).astype(io_dt)
+    carry_f[:] = cf[cs:]
+    # backward: block m+1 = held c_{m+1}[0:16] + current spill c_m[16:19]
+    outb[:] = (buf_b[:] + jnp.concatenate([cb[cs:], pad13], axis=0)
+               ).astype(io_dt)
+    buf_b[:] = cb[:cs]
+
+
+@functools.partial(jax.jit, static_argnames=("mxu_bf16",))
+def grid_bilstm_fold(x: Array, w_ih: Array, w_hh: Array, bias: Array,
+                     w_deconv: Array, mxu_bf16: bool = False) -> Array:
+    """Fused unfold(k=4) -> BiLSTM -> deconv(k=4) -> overlap-add.
+
+    Args:
+      x: [S, B, C] sequence-major raw lines (already LayerNorm'd and
+        spatially padded by the caller). C must be a multiple of 8.
+      w_ih: [2, 4*C, 4H] BiLSTM input weights (tap-major rows, dir 0=fwd).
+      w_hh: [2, H, 4H]; bias: [2, 4H] (gate order i,f,g,o).
+      w_deconv: [2H, 4*C] Dense kernel (rows 0:H forward, H:2H backward;
+        output channels tap-major like the unfused `deconv` Dense).
+
+    Returns:
+      [S, B, C] folded output, exact on rows [3, L-1] (L = S-3); rows
+      outside carry sequence-pad contamination and must be cropped by the
+      caller (GridNetBlock's olp crop does exactly this). No deconv bias —
+      the caller adds it (it is per output position, so it commutes).
+    """
+    s_len, b, cdim = x.shape
+    hidden = w_hh.shape[1]
+    io_dt = x.dtype if x.dtype in (jnp.bfloat16, jnp.float32) else jnp.float32
+    L = s_len - (_KS - 1)
+    assert L >= 1, "sequence too short for k=4 unfold"
+    assert cdim % 8 == 0, "channel dim must be a multiple of 8"
+
+    hp = _round_up(hidden, LANE)
+    kc = _KS * cdim
+    w_ih_p = jnp.stack([_pad_gate_cols(w_ih[z], hidden, hp) for z in range(2)])
+    w_hh_p = jnp.stack([_pad_gate_cols(w_hh[z], hidden, hp) for z in range(2)])
+    bias_p = jnp.stack([_pad_gate_cols(bias[z][None, :], hidden, hp)[0]
+                        for z in range(2)])[None]  # [1, 2, 4H']
+    if hp != hidden:
+        w_hh_p = jnp.pad(w_hh_p, ((0, 0), (0, hp - hidden), (0, 0)))
+    # deconv kernel: per-direction row blocks, zero-pad rows H -> H'
+    wd = jnp.stack([
+        jnp.pad(w_deconv[:hidden], ((0, hp - hidden), (0, 0))),
+        jnp.pad(w_deconv[hidden:], ((0, hp - hidden), (0, 0))),
+    ])  # [2, H', 4C]
+
+    tile_b = min(_round_up(b, 8), 64)
+    bp = _round_up(b, tile_b)
+    sp = _round_up(L, _CHUNK)
+    n_real = sp // _CHUNK
+    # n_real+2 input blocks so the `next` stream never reads out of bounds.
+    rows = (n_real + 2) * _CHUNK
+    x = jnp.pad(x, ((0, rows - s_len), (0, bp - b), (0, 0)))
+
+    grid = (bp // tile_b, n_real + 1)
+
+    def cur_f(i, j):
+        return (j, i, 0)
+
+    def nxt_f(i, j):
+        return (j + 1, i, 0)
+
+    def cur_b(i, j):
+        return (jnp.maximum(n_real - 1 - j, 0), i, 0)
+
+    def nxt_b(i, j):
+        return (jnp.maximum(n_real - j, 0), i, 0)
+
+    outf, outb = pl.pallas_call(
+        functools.partial(_grid_kernel, hidden=hp, cdim=cdim, L=L,
+                          n_real=n_real, mxu_bf16=mxu_bf16),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((_CHUNK, tile_b, cdim), cur_f, memory_space=pltpu.VMEM),
+            pl.BlockSpec((_CHUNK, tile_b, cdim), nxt_f, memory_space=pltpu.VMEM),
+            pl.BlockSpec((_CHUNK, tile_b, cdim), cur_b, memory_space=pltpu.VMEM),
+            pl.BlockSpec((_CHUNK, tile_b, cdim), nxt_b, memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, kc, 4 * hp), lambda i, j: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, hp, 4 * hp), lambda i, j: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2, 4 * hp), lambda i, j: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, hp, kc), lambda i, j: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((_CHUNK, tile_b, cdim), lambda i, j: (j, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_CHUNK, tile_b, cdim),
+                         lambda i, j: (n_real - j, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct(((n_real + 1) * _CHUNK, bp, cdim), io_dt),
+            jax.ShapeDtypeStruct(((n_real + 1) * _CHUNK, bp, cdim), io_dt),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2 * tile_b, hp), jnp.float32),
+            pltpu.VMEM((2 * tile_b, hp), jnp.float32),
+            pltpu.VMEM((_KS - 1, tile_b, cdim), jnp.float32),
+            pltpu.VMEM((_CHUNK, tile_b, cdim), jnp.float32),
+            pltpu.VMEM((_CHUNK, tile_b, hp), jnp.float32),
+            pltpu.VMEM((_CHUNK, tile_b, hp), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=_use_interpret(),
+    )(x.astype(io_dt), x.astype(io_dt), x.astype(io_dt), x.astype(io_dt),
+      w_ih_p.astype(jnp.float32), w_hh_p.astype(jnp.float32),
+      bias_p.astype(jnp.float32), wd.astype(jnp.float32))
+
+    return (outf[:s_len, :b] + outb[:s_len, :b]).astype(io_dt)

@@ -1,0 +1,117 @@
+"""Fused grid-RNN kernel (ops/gridrnn.py) vs the unfused pipeline.
+
+The fused kernel computes unfold(k=4) -> BiLSTM -> deconv -> overlap-add in
+one Pallas program. Its contract: rows [3, L-1] (L = S-3) match the unfused
+pipeline exactly; rows outside carry sequence-pad contamination and are
+cropped by GridNetBlock. Runs in Pallas interpret mode on CPU.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fdbm_tpu.models.tfgridnet import GridNetBlock, _RnnPath
+from fdbm_tpu.ops.gridrnn import grid_bilstm_fold
+
+KS = 4
+
+
+def _oracle(x, w_ih, w_hh, bias, wd):
+    """Pure-numpy unfold -> BiLSTM -> deconv -> fold (torch semantics)."""
+    s_len, b, c = x.shape
+    L = s_len - (KS - 1)
+    win = np.concatenate([x[t : t + L] for t in range(KS)], axis=-1)  # [L,B,4C]
+
+    def lstm(seq, w_i, w_h, bi, reverse):
+        h = np.zeros((b, w_h.shape[0]), np.float64)
+        cst = np.zeros_like(h)
+        order = range(L - 1, -1, -1) if reverse else range(L)
+        out = np.zeros((L, b, w_h.shape[0]), np.float64)
+        for s in order:
+            g = seq[s] @ w_i + h @ w_h + bi
+            hid = w_h.shape[0]
+            i = 1 / (1 + np.exp(-g[:, :hid]))
+            f = 1 / (1 + np.exp(-g[:, hid : 2 * hid]))
+            gg = np.tanh(g[:, 2 * hid : 3 * hid])
+            o = 1 / (1 + np.exp(-g[:, 3 * hid :]))
+            cst = f * cst + i * gg
+            h = o * np.tanh(cst)
+            out[s] = h
+        return out
+
+    fwd = lstm(win.astype(np.float64), w_ih[0], w_hh[0], bias[0], False)
+    bwd = lstm(win.astype(np.float64), w_ih[1], w_hh[1], bias[1], True)
+    z = np.concatenate([fwd, bwd], axis=-1) @ wd  # [L, B, 4C]
+    folded = np.zeros((s_len, b, c), np.float64)
+    for tap in range(KS):
+        folded[tap : tap + L] += z[:, :, tap * c : (tap + 1) * c]
+    return folded
+
+
+@pytest.mark.parametrize("s_len,b,c,hidden", [(35, 12, 16, 24), (20, 3, 8, 10)])
+def test_fused_matches_oracle_on_crop(s_len, b, c, hidden):
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((s_len, b, c)).astype(np.float32) * 0.5
+    w_ih = rng.standard_normal((2, KS * c, 4 * hidden)).astype(np.float32) * 0.2
+    w_hh = rng.standard_normal((2, hidden, 4 * hidden)).astype(np.float32) * 0.2
+    bias = rng.standard_normal((2, 4 * hidden)).astype(np.float32) * 0.2
+    wd = rng.standard_normal((2 * hidden, KS * c)).astype(np.float32) * 0.2
+
+    got = np.asarray(grid_bilstm_fold(
+        jnp.asarray(x), jnp.asarray(w_ih), jnp.asarray(w_hh),
+        jnp.asarray(bias), jnp.asarray(wd)))
+    want = _oracle(x, w_ih, w_hh, bias, wd)
+
+    L = s_len - (KS - 1)
+    np.testing.assert_allclose(got[3:L], want[3:L], rtol=2e-4, atol=2e-4)
+    # rows outside [3, L-1] are contaminated by design — assert they are at
+    # least finite so downstream LN/attention on padded rows stays sane
+    assert np.isfinite(got).all()
+
+
+def test_rnnpath_fused_matches_scan_on_crop():
+    """_RnnPath with use_pallas=True (fused kernel) == scan path on the
+    GridNetBlock crop region, same params."""
+    b, t, q, c, hidden = 2, 12, 11, 16, 20
+    olp = 3
+    rng = np.random.default_rng(1)
+    xp = jnp.asarray(rng.standard_normal((b, t + 2 * olp, q + 2 * olp, c)),
+                     jnp.float32)
+
+    path_scan = _RnnPath(c, hidden, jnp.float32, use_pallas=False)
+    path_fused = _RnnPath(c, hidden, jnp.float32, use_pallas=True)
+    params = path_scan.init(jax.random.PRNGKey(0), xp, 2)
+    # identical param trees: the fused path must accept scan-path params
+    out_scan = path_scan.apply(params, xp, 2)
+    out_fused = path_fused.apply(params, xp, 2)
+    # crop region along the seq axis (axis 2 for seq_axis=2)
+    seq = q + 2 * olp
+    L = seq - (4 - 1)
+    np.testing.assert_allclose(
+        np.asarray(out_fused)[:, :, olp : L],
+        np.asarray(out_scan)[:, :, olp : L], rtol=2e-4, atol=2e-4)
+
+    # and along the time axis (seq_axis=1)
+    out_scan_t = path_scan.apply(params, xp, 1)
+    out_fused_t = path_fused.apply(params, xp, 1)
+    seq_t = t + 2 * olp
+    Lt = seq_t - 3
+    np.testing.assert_allclose(
+        np.asarray(out_fused_t)[:, olp : Lt],
+        np.asarray(out_scan_t)[:, olp : Lt], rtol=2e-4, atol=2e-4)
+
+
+def test_gridnetblock_fused_matches_scan_exactly():
+    """Full GridNetBlock output (post-crop) is identical between paths."""
+    b, t, q, c, hidden = 2, 10, 9, 16, 20
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.standard_normal((b, t, q, c)), jnp.float32)
+
+    blk_scan = GridNetBlock(emb_dim=c, hidden=hidden, use_pallas=False)
+    blk_fused = GridNetBlock(emb_dim=c, hidden=hidden, use_pallas=True)
+    params = blk_scan.init(jax.random.PRNGKey(0), x)
+    out_scan = blk_scan.apply(params, x)
+    out_fused = blk_fused.apply(params, x)
+    np.testing.assert_allclose(np.asarray(out_fused), np.asarray(out_scan),
+                               rtol=5e-4, atol=5e-4)

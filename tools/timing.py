@@ -1,0 +1,46 @@
+"""Trustworthy device timing on the tunnelled (axon) TPU runtime.
+
+On this runtime `block_until_ready` can return before compute finishes and
+independent dispatches pipeline behind a seconds-scale tunnel latency, so
+naive timing is untrustworthy in both directions. `chain_time` measures the
+per-call device time of `f` by running two dependency-CHAINED sequences of
+different lengths and taking the slope:
+
+    T(k) = roundtrip + k * t_compute
+
+A chained sequence (each call consumes the previous call's output) cannot
+overlap compute, and the final scalar fetch cannot complete before the whole
+chain has executed on device.
+"""
+
+from __future__ import annotations
+
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def _sync_scalar(x) -> float:
+    # Force a device->host read that depends on x.
+    return float(jnp.asarray(x).ravel()[0])
+
+
+def chain_time(f, x0, k_short: int = 2, k_long: int = 10, reps: int = 1) -> float:
+    """Per-call device seconds of x -> f(x) (same-shape in/out), slope method."""
+
+    def run(k: int) -> float:
+        x = x0
+        t0 = time.perf_counter()
+        for _ in range(k):
+            x = f(x)
+        _sync_scalar(x)
+        return time.perf_counter() - t0
+
+    run(1)  # warmup/compile
+    best = float("inf")
+    for _ in range(reps):
+        t_short = run(k_short)
+        t_long = run(k_long)
+        best = min(best, (t_long - t_short) / (k_long - k_short))
+    return best
