@@ -38,6 +38,7 @@ rows never reach the model output — see tests/test_gridrnn.py.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -201,7 +202,13 @@ def grid_bilstm_fold(x: Array, w_ih: Array, w_hh: Array, bias: Array,
         jnp.pad(w_deconv[hidden:], ((0, hp - hidden), (0, 0))),
     ])  # [2, H', 4C]
 
-    tile_b = min(_round_up(b, 8), 64)
+    # Batch tile: bigger tiles mean fewer sequential (tile, chunk) steps but
+    # proportionally wider per-step VPU gate ops — measured NEUTRAL across
+    # 32/64/128/256 on v5e (the kernel is VPU-throughput-bound, and total
+    # gate work is tile-invariant; BENCH_NOTES round-2). 64 is the safe
+    # VMEM default; the env knob exists for re-sweeps on other TPU gens.
+    max_tile = int(os.environ.get("FDBM_TPU_GRIDRNN_TILE", "64"))
+    tile_b = min(_round_up(b, 8), max_tile)
     bp = _round_up(b, tile_b)
     sp = _round_up(L, _CHUNK)
     n_real = sp // _CHUNK

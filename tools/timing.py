@@ -21,9 +21,16 @@ import jax
 import jax.numpy as jnp
 
 
+@jax.jit
+def _reduce(x):
+    return jnp.sum(jnp.abs(jnp.asarray(x, jnp.float32)))
+
+
 def _sync_scalar(x) -> float:
-    # Force a device->host read that depends on x.
-    return float(jnp.asarray(x).ravel()[0])
+    # Force a device->host read that depends on x. Goes through a jitted
+    # reduction: bare reshape/index dispatches can hit UNIMPLEMENTED on the
+    # tunnelled backend for some ranks.
+    return float(_reduce(x))
 
 
 def chain_time(f, x0, k_short: int = 2, k_long: int = 10, reps: int = 1) -> float:
