@@ -51,6 +51,9 @@ def main():
     import jax.numpy as jnp
 
     from fdbm_tpu.model import FDBM, FDBMConfig
+    from fdbm_tpu.utils.compilation_cache import setup_compilation_cache
+
+    setup_compilation_cache()
 
     n_steps = 30
     batch = 16

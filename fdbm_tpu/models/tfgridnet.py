@@ -78,6 +78,36 @@ class _RnnPath(nn.Module):
         # LayerNorm over channel (torch nn.LayerNorm(emb_dim))
         gamma = self.param("ln_gamma", nn.initializers.ones, (c,))
         beta = self.param("ln_beta", nn.initializers.zeros, (c,))
+
+        if self.use_pallas and c % 8 == 0:
+            # Inference fast path: ONE canvas-direct Pallas kernel runs
+            # unfold -> BiLSTM -> deconv -> overlap-add, reading the 4D
+            # canvas directly through BlockSpec index maps (sequence on
+            # axis 1) — no reshape/transpose copies around the kernel
+            # (they were ~2s of the 5.7s 30-step enhance; BENCH_NOTES
+            # round-2b). GridNetBlock orients the canvas so seq_axis is 1
+            # on this path; a seq_axis=2 call transposes here (2 copies —
+            # only the generic/test entry pays them). LN / residual /
+            # deconv-bias stay outside as fused XLA elementwise passes.
+            # The kernel's out-of-crop rows (0..2 and L..seq-1 along the
+            # sequence axis) carry pad contamination — GridNetBlock's olp
+            # crop discards exactly those rows (tests/test_gridrnn.py).
+            from fdbm_tpu.ops.gridrnn import grid_rnn_seq1
+
+            w_ih, w_hh, bias_l = BiLSTM(
+                hidden=self.hidden, dtype=self.dtype, use_pallas=True,
+                name="bilstm")(None, in_features=ks * c, return_params=True)
+            wd = _DenseKernel(ks * c, name="deconv")(2 * self.hidden)
+            d_bias = self.param("deconv_bias", nn.initializers.zeros, (c,))
+            h = layer_norm_f32(x, gamma, beta, axis=-1)
+            if seq_axis == 2:
+                h = jnp.swapaxes(h, 1, 2)
+            folded = grid_rnn_seq1(
+                h.astype(self.dtype), w_ih, w_hh, bias_l, wd)
+            if seq_axis == 2:
+                folded = jnp.swapaxes(folded, 1, 2)
+            return folded + d_bias.astype(folded.dtype) + residual
+
         h = layer_norm_f32(x, gamma, beta, axis=-1)
 
         if seq_axis == 1:  # operate over T: move to [B, Q, T, C]
@@ -86,49 +116,29 @@ class _RnnPath(nn.Module):
         # Unfold: windows of ks consecutive positions, stride 1 -> L = seq-3
         L = seq - (ks - 1)
 
-        if self.use_pallas and c % 8 == 0:
-            # Inference fast path: ONE Pallas kernel runs
-            # unfold -> BiLSTM -> deconv -> overlap-add so HBM carries only
-            # the raw C-wide line in and the folded C-wide line out (the
-            # program is HBM-bound; the unfused path streams 4x-unfolded
-            # inputs and 2H-wide hidden states). The kernel's out-of-crop
-            # rows (0..2 and L..seq-1) carry pad contamination —
-            # GridNetBlock's olp crop discards exactly those rows, so the
-            # backbone output is unchanged (tests/test_gridrnn.py).
-            from fdbm_tpu.ops.gridrnn import grid_bilstm_fold
+        windows = jnp.stack(
+            [h[:, :, j : j + L, :] for j in range(ks)], axis=-2)
+        # [B, other, L, ks, C] -> [B*other, L, ks*C]
+        seqs = windows.reshape(b * other, L, ks * c)
 
-            w_ih, w_hh, bias_l = BiLSTM(
-                hidden=self.hidden, dtype=self.dtype, use_pallas=True,
-                name="bilstm")(None, in_features=ks * c, return_params=True)
-            wd = _DenseKernel(ks * c, name="deconv")(2 * self.hidden)
-            hs = jnp.swapaxes(h.reshape(b * other, seq, c), 0, 1)
-            folded = grid_bilstm_fold(
-                hs.astype(self.dtype), w_ih, w_hh, bias_l, wd)
-            folded = jnp.swapaxes(folded, 0, 1)
-        else:
-            windows = jnp.stack(
-                [h[:, :, j : j + L, :] for j in range(ks)], axis=-2)
-            # [B, other, L, ks, C] -> [B*other, L, ks*C]
-            seqs = windows.reshape(b * other, L, ks * c)
+        out = BiLSTM(hidden=self.hidden, dtype=self.dtype,
+                     use_pallas=self.use_pallas,
+                     use_pallas_train=self.use_pallas_train,
+                     name="bilstm")(seqs)
 
-            out = BiLSTM(hidden=self.hidden, dtype=self.dtype,
-                         use_pallas=self.use_pallas,
-                         use_pallas_train=self.use_pallas_train,
-                         name="bilstm")(seqs)
-
-            # ConvTranspose1d(2H -> C, kernel ks, stride 1) == dense to
-            # [ks, C] then overlap-add of the ks taps (output length
-            # L+ks-1 == seq). The bias is added once per *output position*
-            # (ConvTranspose1d semantics), so it lives outside the fold.
-            z = nn.Dense(ks * c, dtype=self.dtype, use_bias=False,
-                         name="deconv")(out)
-            z = z.reshape(b * other, L, ks, c)
-            # Overlap-add via pad-and-sum: XLA fuses the ks pads+adds into
-            # one elementwise pass; the equivalent `.at[j:j+L].add` scatter
-            # chain is ks sequential full-array read/write passes.
-            folded = sum(
-                jnp.pad(z[:, :, j, :], ((0, 0), (j, ks - 1 - j), (0, 0)))
-                for j in range(ks))
+        # ConvTranspose1d(2H -> C, kernel ks, stride 1) == dense to
+        # [ks, C] then overlap-add of the ks taps (output length
+        # L+ks-1 == seq). The bias is added once per *output position*
+        # (ConvTranspose1d semantics), so it lives outside the fold.
+        z = nn.Dense(ks * c, dtype=self.dtype, use_bias=False,
+                     name="deconv")(out)
+        z = z.reshape(b * other, L, ks, c)
+        # Overlap-add via pad-and-sum: XLA fuses the ks pads+adds into
+        # one elementwise pass; the equivalent `.at[j:j+L].add` scatter
+        # chain is ks sequential full-array read/write passes.
+        folded = sum(
+            jnp.pad(z[:, :, j, :], ((0, 0), (j, ks - 1 - j), (0, 0)))
+            for j in range(ks))
         d_bias = self.param("deconv_bias", nn.initializers.zeros, (c,))
         folded = folded + d_bias.astype(folded.dtype)
 
@@ -187,10 +197,22 @@ class GridNetBlock(nn.Module):
         d = c // self.n_head
 
         xp = jnp.pad(x, ((0, 0), (olp, olp), (olp, olp), (0, 0)))
-        xp = _RnnPath(c, self.hidden, self.dtype, self.use_pallas,
-                      self.use_pallas_train, name="intra")(xp, seq_axis=2)
-        xp = _RnnPath(c, self.hidden, self.dtype, self.use_pallas,
-                      self.use_pallas_train, name="inter")(xp, seq_axis=1)
+        if self.use_pallas and c % 8 == 0:
+            # Canvas-direct kernels want the sequence on axis 1: run intra
+            # on the (1,2)-swapped canvas and inter on the swap-back — two
+            # canvas transposes per block instead of per-path reshape +
+            # transpose copies around each kernel (see _RnnPath).
+            xq = jnp.swapaxes(xp, 1, 2)  # [B, Q', T', C], seq = Q on axis 1
+            xq = _RnnPath(c, self.hidden, self.dtype, self.use_pallas,
+                          self.use_pallas_train, name="intra")(xq, seq_axis=1)
+            xt = jnp.swapaxes(xq, 1, 2)  # [B, T', Q', C], seq = T on axis 1
+            xp = _RnnPath(c, self.hidden, self.dtype, self.use_pallas,
+                          self.use_pallas_train, name="inter")(xt, seq_axis=1)
+        else:
+            xp = _RnnPath(c, self.hidden, self.dtype, self.use_pallas,
+                          self.use_pallas_train, name="intra")(xp, seq_axis=2)
+            xp = _RnnPath(c, self.hidden, self.dtype, self.use_pallas,
+                          self.use_pallas_train, name="inter")(xp, seq_axis=1)
         inter = xp[:, olp : olp + old_t, olp : olp + old_q, :]
 
         # ---- full-band frame self-attention over T -----------------------

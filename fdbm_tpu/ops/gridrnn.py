@@ -276,3 +276,228 @@ def grid_bilstm_fold(x: Array, w_ih: Array, w_hh: Array, bias: Array,
       bias_p.astype(jnp.float32), wd.astype(jnp.float32))
 
     return (outf[:s_len, :b] + outb[:s_len, :b]).astype(io_dt)
+
+
+
+# ---------------------------------------------------------------------------
+# Canvas-direct variant: same fused pipeline, reading the padded 4D
+# [B, S, P, C] canvas directly (sequence on axis 1) with no host-side
+# reshape/transpose copies.
+# ---------------------------------------------------------------------------
+#
+# Device profile of the 30-step enhance (BENCH_NOTES round-2b): the
+# [S, B', C] kernel forced every _RnnPath to materialise reshape-copy +
+# transpose-copy on the way in and out (~2s/call of pure layout glue).
+# This variant's BlockSpecs tile the canvas as (1, seq-chunk, batch-tile, C)
+# blocks, so the kernel consumes exactly the tensor the model holds. The
+# caller orients the canvas so the sequence axis is axis 1 (GridNetBlock
+# swaps (1,2) ONCE between the intra and inter paths — 2 canvas copies per
+# block instead of 6). LayerNorm / residual / deconv-bias stay outside as
+# one fused XLA elementwise pass each (measured cheaper than in-kernel
+# lane-reductions at C=32).
+#
+# Out-of-bounds loads (partial tail blocks on either axis) may contain
+# undefined values: sequence-tail rows are select-masked to zero before the
+# window build (NaN-safe), and batch-tail garbage stays in its own rows
+# (every kernel op is row-independent) and is cropped by the caller.
+
+
+def _canvas_kernel(xf_cur, xf_nxt, xb_cur, xb_nxt, w_ih, w_hh, bias, wd,
+                   outf, outb, h_scr, c_scr, carry_f, buf_b, hbuf_f, hbuf_b,
+                   *, hidden: int, cdim: int, L: int, n_real: int,
+                   s_true: int, mxu_bf16: bool):
+    """One (b, tile, step) of the canvas grid RNN. Blocks: [1, cs, tb, C]."""
+    j = pl.program_id(2)
+    cs = _CHUNK
+    tb = xf_cur.shape[2]
+    io_dt = outf.dtype
+    mm_dt = jnp.bfloat16 if (mxu_bf16 or io_dt == jnp.bfloat16) else jnp.float32
+
+    @pl.when(j == 0)
+    def _():
+        h_scr[:] = jnp.zeros_like(h_scr)
+        c_scr[:] = jnp.zeros_like(c_scr)
+        carry_f[:] = jnp.zeros_like(carry_f)
+        buf_b[:] = jnp.zeros_like(buf_b)
+
+    def windows(cur, nxt, r0):
+        cat = jnp.concatenate([cur[0], nxt[0][:_KS - 1]], axis=0)
+        # Select-mask rows at/after the true sequence end: the tail block
+        # may be a partial (out-of-bounds) load with undefined values.
+        rows = jax.lax.broadcasted_iota(jnp.int32, (cs + _KS - 1, 1, 1), 0)
+        cat = jnp.where(rows + r0 < s_true, cat, 0)
+        return jnp.concatenate(
+            [cat[t : t + cs] for t in range(_KS)], axis=-1)  # [cs, tb, 4C]
+
+    m = n_real - 1 - j  # backward z block (garbage at j == n_real)
+    winf = windows(xf_cur, xf_nxt, j * cs).astype(mm_dt)
+    winb = windows(xb_cur, xb_nxt, m * cs).astype(mm_dt)
+
+    xgf = jnp.dot(winf.reshape(cs * tb, _KS * cdim), w_ih[0].astype(mm_dt),
+                  preferred_element_type=jnp.float32) + bias[0, 0]
+    xgb = jnp.dot(winb.reshape(cs * tb, _KS * cdim), w_ih[1].astype(mm_dt),
+                  preferred_element_type=jnp.float32) + bias[0, 1]
+    xgf = xgf.reshape(cs, tb, 4 * hidden)
+    xgb = xgb.reshape(cs, tb, 4 * hidden)
+
+    whf = w_hh[0].astype(mm_dt)
+    whb = w_hh[1].astype(mm_dt)
+
+    for s in range(cs):
+        sb = cs - 1 - s
+        h = h_scr[:].astype(mm_dt)
+        gf = xgf[s] + jnp.dot(h[:tb], whf, preferred_element_type=jnp.float32)
+        gb = xgb[sb] + jnp.dot(h[tb:], whb, preferred_element_type=jnp.float32)
+        gates = jnp.concatenate([gf, gb], axis=0)  # [2*tb, 4H]
+        i = jax.nn.sigmoid(gates[:, 0 * hidden : 1 * hidden])
+        f = jax.nn.sigmoid(gates[:, 1 * hidden : 2 * hidden])
+        g = jnp.tanh(gates[:, 2 * hidden : 3 * hidden])
+        o = jax.nn.sigmoid(gates[:, 3 * hidden : 4 * hidden])
+        c = f * c_scr[:] + i * g
+        hn = o * jnp.tanh(c)
+        # Backward carry stays zero while its position is in the padded
+        # tail (p >= L), so it enters the last REAL row fresh.
+        p_b = m * cs + sb
+        live_b = (p_b < L).astype(jnp.float32)
+        mask = jnp.concatenate(
+            [jnp.ones((tb, 1), jnp.float32),
+             jnp.full((tb, 1), live_b, jnp.float32)], axis=0)
+        c_scr[:] = c * mask
+        h_scr[:] = hn * mask
+        hbuf_f[s] = hn[:tb]
+        hbuf_b[sb] = hn[tb:] * live_b
+
+    zf = jnp.dot(hbuf_f[:].reshape(cs * tb, hidden), wd[0],
+                 preferred_element_type=jnp.float32).reshape(cs, tb, _KS * cdim)
+    zb = jnp.dot(hbuf_b[:].reshape(cs * tb, hidden), wd[1],
+                 preferred_element_type=jnp.float32).reshape(cs, tb, _KS * cdim)
+    live = (j < n_real).astype(jnp.float32)
+    cf = _fold19(zf, cdim, tb) * live  # [cs+3, tb, C]
+    cb = _fold19(zb, cdim, tb) * live
+
+    pad13 = jnp.zeros((cs - (_KS - 1), tb, cdim), jnp.float32)
+    outf[0] = (cf[:cs] + jnp.concatenate([carry_f[:], pad13], axis=0)
+               ).astype(io_dt)
+    carry_f[:] = cf[cs:]
+    outb[0] = (buf_b[:] + jnp.concatenate([cb[cs:], pad13], axis=0)
+               ).astype(io_dt)
+    buf_b[:] = cb[:cs]
+
+
+def _pick_tile(p: int, max_tile: int) -> int:
+    """Largest tile (multiple of 8, <= max) minimising pad waste over p."""
+    best, best_waste = 8, float("inf")
+    for t in range(8, max_tile + 1, 8):
+        waste = -(-p // t) * t - p
+        if waste <= best_waste:  # <=: prefer the larger tile on ties
+            best, best_waste = t, waste
+    return min(best, _round_up(p, 8))
+
+
+@functools.partial(jax.jit, static_argnames=("mxu_bf16",))
+def grid_rnn_seq1(x: Array, w_ih: Array, w_hh: Array, bias: Array,
+                  w_deconv: Array, mxu_bf16: bool = False) -> Array:
+    """Fused unfold(k=4) -> BiLSTM -> deconv(k=4) -> overlap-add on a 4D
+    canvas with the sequence on AXIS 1.
+
+    Args:
+      x: [B, S, P, C] canvas (already LayerNorm'd); sequence along axis 1,
+        the other spatial axis P is batch-like. C must be a multiple of 8.
+      w_ih: [2, 4*C, 4H] (tap-major rows, dir 0 = forward); w_hh: [2, H, 4H];
+      bias: [2, 4H] (gate order i,f,g,o); w_deconv: [2H, 4*C] tap-major.
+
+    Returns:
+      [B, S, P, C] folded output (no deconv bias, no residual — the caller
+      adds both in one fused elementwise pass); exact on sequence rows
+      [3, L-1] (L = S-3), pad-contaminated outside (GridNetBlock crops).
+    """
+    b, s_true, p_true, cdim = x.shape
+    hidden = w_hh.shape[1]
+    io_dt = x.dtype if x.dtype in (jnp.bfloat16, jnp.float32) else jnp.float32
+    L = s_true - (_KS - 1)
+    assert L >= 1, "sequence too short for k=4 unfold"
+    assert cdim % 8 == 0, "channel dim must be a multiple of 8"
+
+    hp = _round_up(hidden, LANE)
+    kc = _KS * cdim
+    w_ih_p = jnp.stack([_pad_gate_cols(w_ih[z], hidden, hp) for z in range(2)])
+    w_hh_p = jnp.stack([_pad_gate_cols(w_hh[z], hidden, hp) for z in range(2)])
+    bias_p = jnp.stack([_pad_gate_cols(bias[z][None, :], hidden, hp)[0]
+                        for z in range(2)])[None]  # [1, 2, 4H']
+    if hp != hidden:
+        w_hh_p = jnp.pad(w_hh_p, ((0, 0), (0, hp - hidden), (0, 0)))
+    wd = jnp.stack([
+        jnp.pad(w_deconv[:hidden], ((0, hp - hidden), (0, 0))),
+        jnp.pad(w_deconv[hidden:], ((0, hp - hidden), (0, 0))),
+    ])  # [2, H', 4C]
+
+    tile = _pick_tile(p_true, int(os.environ.get("FDBM_TPU_GRIDRNN_TILE", "88")))
+    n_tiles = -(-p_true // tile)
+    n_real = -(-L // _CHUNK)
+    nb = -(-s_true // _CHUNK)  # seq blocks present in the canvas
+
+    grid = (b, n_tiles, n_real + 1)
+
+    # Clamped index maps: the `nxt` stream at the last block would address
+    # one block past the canvas — clamp to the last block. Exact for the
+    # crop: positions whose window genuinely needs the missing block lie
+    # beyond row L-1 whenever the canvas holds only nb <= n_real blocks.
+    def cur_f(bi, ti, sj):
+        return (bi, jnp.minimum(sj, nb - 1), ti, 0)
+
+    def nxt_f(bi, ti, sj):
+        return (bi, jnp.minimum(sj + 1, nb - 1), ti, 0)
+
+    def cur_b(bi, ti, sj):
+        return (bi, jnp.clip(n_real - 1 - sj, 0, nb - 1), ti, 0)
+
+    def nxt_b(bi, ti, sj):
+        return (bi, jnp.clip(n_real - sj, 0, nb - 1), ti, 0)
+
+    blk = (1, _CHUNK, tile, cdim)
+    bcast = lambda bi, ti, sj: (0, 0, 0)
+    xio = x.astype(io_dt)
+
+    outf, outb = pl.pallas_call(
+        functools.partial(
+            _canvas_kernel, hidden=hp, cdim=cdim, L=L, n_real=n_real,
+            s_true=s_true, mxu_bf16=mxu_bf16),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(blk, cur_f, memory_space=pltpu.VMEM),
+            pl.BlockSpec(blk, nxt_f, memory_space=pltpu.VMEM),
+            pl.BlockSpec(blk, cur_b, memory_space=pltpu.VMEM),
+            pl.BlockSpec(blk, nxt_b, memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, kc, 4 * hp), bcast, memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, hp, 4 * hp), bcast, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2, 4 * hp), bcast, memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, hp, kc), bcast, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec(blk, lambda bi, ti, sj: (bi, sj, ti, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(blk, lambda bi, ti, sj: (bi, n_real - sj, ti, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct(
+                (b, (n_real + 1) * _CHUNK, n_tiles * tile, cdim), io_dt),
+        ] * 2,
+        scratch_shapes=[
+            pltpu.VMEM((2 * tile, hp), jnp.float32),
+            pltpu.VMEM((2 * tile, hp), jnp.float32),
+            pltpu.VMEM((_KS - 1, tile, cdim), jnp.float32),
+            pltpu.VMEM((_CHUNK, tile, cdim), jnp.float32),
+            pltpu.VMEM((_CHUNK, tile, hp), jnp.float32),
+            pltpu.VMEM((_CHUNK, tile, hp), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=_use_interpret(),
+    )(xio, xio, xio, xio,
+      w_ih_p.astype(jnp.float32), w_hh_p.astype(jnp.float32),
+      bias_p.astype(jnp.float32), wd.astype(jnp.float32))
+
+    return (outf[:, :s_true, :p_true] + outb[:, :s_true, :p_true]
+            ).astype(io_dt)
