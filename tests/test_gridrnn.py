@@ -70,6 +70,34 @@ def test_fused_matches_oracle_on_crop(s_len, b, c, hidden):
     assert np.isfinite(got).all()
 
 
+@pytest.mark.parametrize("b,s_len,p,c,hidden", [
+    (2, 35, 12, 16, 24),   # partial seq chunk (35 = 2*16+3)
+    (1, 32, 9, 8, 10),     # seq exactly 2 chunks, tiny batch axis
+    (3, 20, 97, 16, 20),   # batch axis above one tile
+])
+def test_canvas_kernel_matches_oracle_on_crop(b, s_len, p, c, hidden):
+    """grid_rnn_seq1 on [B, S, P, C] == the [S, B', C] oracle per b-slice."""
+    from fdbm_tpu.ops.gridrnn import grid_rnn_seq1
+
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal((b, s_len, p, c)).astype(np.float32) * 0.5
+    w_ih = rng.standard_normal((2, KS * c, 4 * hidden)).astype(np.float32) * 0.2
+    w_hh = rng.standard_normal((2, hidden, 4 * hidden)).astype(np.float32) * 0.2
+    bias = rng.standard_normal((2, 4 * hidden)).astype(np.float32) * 0.2
+    wd = rng.standard_normal((2 * hidden, KS * c)).astype(np.float32) * 0.2
+
+    got = np.asarray(grid_rnn_seq1(
+        jnp.asarray(x), jnp.asarray(w_ih), jnp.asarray(w_hh),
+        jnp.asarray(bias), jnp.asarray(wd)))
+    # oracle works on [S, B', C]: move batch+p into the batch axis
+    xr = np.moveaxis(x, 1, 0).reshape(s_len, b * p, c)
+    want = _oracle(xr, w_ih, w_hh, bias, wd).reshape(s_len, b, p, c)
+    want = np.moveaxis(want, 0, 1)
+
+    L = s_len - (KS - 1)
+    np.testing.assert_allclose(got[:, 3:L], want[:, 3:L], rtol=2e-4, atol=2e-4)
+
+
 def test_rnnpath_fused_matches_scan_on_crop():
     """_RnnPath with use_pallas=True (fused kernel) == scan path on the
     GridNetBlock crop region, same params."""
