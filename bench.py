@@ -104,10 +104,14 @@ def main():
         return time.perf_counter() - t0
 
     # Slope timing: T(k) = tunnel_roundtrip + k * t_call, so the seconds-
-    # scale tunnel latency cancels in (T(k_long) - T(k_short)) / dk.
+    # scale tunnel latency cancels in the slope. Tunnel noise is strictly
+    # additive, so the consistent estimator is min over the long runs minus
+    # min over the short runs — NOT min over pairwise differences, which a
+    # single noisy short run would bias optimistically.
     k_short, k_long = 1, 5
-    dt = min((chain(k_long, 2 * w + 1) - chain(k_short, 2 * w)) /
-             (k_long - k_short) for w in range(2))
+    longs = [chain(k_long, 2 * w + 1) for w in range(2)]
+    shorts = [chain(k_short, 2 * w) for w in range(2)]
+    dt = (min(longs) - min(shorts)) / (k_long - k_short)
 
     audio_seconds = batch * length / sr
     throughput = audio_seconds / dt  # audio-sec enhanced per wall-sec per chip

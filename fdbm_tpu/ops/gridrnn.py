@@ -73,38 +73,22 @@ def _fold19(z: Array, c: int, tb: int) -> Array:
     return acc
 
 
-def _grid_kernel(xf_cur, xf_nxt, xb_cur, xb_nxt, w_ih, w_hh, bias, wd,
-                 outf, outb, h_scr, c_scr, carry_f, buf_b, hbuf_f, hbuf_b,
-                 *, hidden: int, cdim: int, L: int, n_real: int,
-                 mxu_bf16: bool):
-    """One (b_tile, step) of the fused grid RNN.
+def _advance_and_fold(winf, winb, w_ih, w_hh, bias, wd, outf, outb,
+                      h_scr, c_scr, carry_f, buf_b, hbuf_f, hbuf_b, store,
+                      *, hidden: int, cdim: int, L: int, n_real: int,
+                      j, m, mm_dt, io_dt):
+    """Shared per-grid-step core: gates projection -> stacked-bidirectional
+    LSTM chunk -> deconv projection -> software-pipelined overlap-add.
 
-    Step j < n_real: advance both directions over z block j (forward) /
-    block m = n_real-1-j (backward); write folded-forward block j and
-    folded-backward block m+1. Step j == n_real: flush the pipelines
-    (forward spill block n_real, backward buffered block 0).
+    winf/winb: [cs, tb, 4C] k=4 windows (s-major). `store(ref, val)` writes
+    a [cs, tb, C] value into the kernel's output ref (layout differs per
+    caller). Step j < n_real: advance both directions over z block j
+    (forward) / block m = n_real-1-j (backward); write folded-forward
+    block j and folded-backward block m+1. Step j == n_real: flush the
+    pipelines (forward spill block n_real, backward buffered block 0).
     """
-    j = pl.program_id(1)
-    tb = xf_cur.shape[1]
     cs = _CHUNK
-    io_dt = outf.dtype
-    mm_dt = jnp.bfloat16 if (mxu_bf16 or io_dt == jnp.bfloat16) else jnp.float32
-
-    @pl.when(j == 0)
-    def _():
-        h_scr[:] = jnp.zeros_like(h_scr)
-        c_scr[:] = jnp.zeros_like(c_scr)
-        carry_f[:] = jnp.zeros_like(carry_f)
-        buf_b[:] = jnp.zeros_like(buf_b)
-
-    # ---- build k=4 windows in VMEM (lane concat of shifted C-slices) ----
-    def windows(cur, nxt):
-        cat = jnp.concatenate([cur, nxt[:_KS - 1]], axis=0)  # [cs+3, tb, C]
-        return jnp.concatenate(
-            [cat[t : t + cs] for t in range(_KS)], axis=-1)  # [cs, tb, 4C]
-
-    winf = windows(xf_cur[:], xf_nxt[:]).astype(mm_dt)
-    winb = windows(xb_cur[:], xb_nxt[:]).astype(mm_dt)
+    tb = winf.shape[1]
 
     xgf = jnp.dot(winf.reshape(cs * tb, _KS * cdim), w_ih[0].astype(mm_dt),
                   preferred_element_type=jnp.float32) + bias[0, 0]
@@ -115,7 +99,6 @@ def _grid_kernel(xf_cur, xf_nxt, xb_cur, xb_nxt, w_ih, w_hh, bias, wd,
 
     whf = w_hh[0].astype(mm_dt)
     whb = w_hh[1].astype(mm_dt)
-    m = n_real - 1 - j  # backward z block (garbage at j == n_real)
 
     for s in range(cs):
         sb = cs - 1 - s
@@ -153,13 +136,65 @@ def _grid_kernel(xf_cur, xf_nxt, xb_cur, xb_nxt, w_ih, w_hh, bias, wd,
 
     pad13 = jnp.zeros((cs - (_KS - 1), tb, cdim), jnp.float32)
     # forward: block j = cf[0:16] + spill-from-below at rows 0..2
-    outf[:] = (cf[:cs] + jnp.concatenate([carry_f[:], pad13], axis=0)
-               ).astype(io_dt)
+    store(outf, (cf[:cs] + jnp.concatenate([carry_f[:], pad13], axis=0)
+                 ).astype(io_dt))
     carry_f[:] = cf[cs:]
     # backward: block m+1 = held c_{m+1}[0:16] + current spill c_m[16:19]
-    outb[:] = (buf_b[:] + jnp.concatenate([cb[cs:], pad13], axis=0)
-               ).astype(io_dt)
+    store(outb, (buf_b[:] + jnp.concatenate([cb[cs:], pad13], axis=0)
+                 ).astype(io_dt))
     buf_b[:] = cb[:cs]
+
+
+def _reset_carries(j, h_scr, c_scr, carry_f, buf_b):
+    @pl.when(j == 0)
+    def _():
+        h_scr[:] = jnp.zeros_like(h_scr)
+        c_scr[:] = jnp.zeros_like(c_scr)
+        carry_f[:] = jnp.zeros_like(carry_f)
+        buf_b[:] = jnp.zeros_like(buf_b)
+
+
+def _prep_weights(w_ih, w_hh, bias, w_deconv, hidden, hp):
+    """Zero-pad gate columns H -> H' (and w_hh/w_deconv rows) per direction."""
+    w_ih_p = jnp.stack([_pad_gate_cols(w_ih[z], hidden, hp) for z in range(2)])
+    w_hh_p = jnp.stack([_pad_gate_cols(w_hh[z], hidden, hp) for z in range(2)])
+    bias_p = jnp.stack([_pad_gate_cols(bias[z][None, :], hidden, hp)[0]
+                        for z in range(2)])[None]  # [1, 2, 4H']
+    if hp != hidden:
+        w_hh_p = jnp.pad(w_hh_p, ((0, 0), (0, hp - hidden), (0, 0)))
+    wd = jnp.stack([
+        jnp.pad(w_deconv[:hidden], ((0, hp - hidden), (0, 0))),
+        jnp.pad(w_deconv[hidden:], ((0, hp - hidden), (0, 0))),
+    ])  # [2, H', 4C]
+    return w_ih_p, w_hh_p, bias_p, wd
+
+
+def _grid_kernel(xf_cur, xf_nxt, xb_cur, xb_nxt, w_ih, w_hh, bias, wd,
+                 outf, outb, h_scr, c_scr, carry_f, buf_b, hbuf_f, hbuf_b,
+                 *, hidden: int, cdim: int, L: int, n_real: int,
+                 mxu_bf16: bool):
+    """One (b_tile, step) of the fused grid RNN on [S, B', C] inputs."""
+    j = pl.program_id(1)
+    io_dt = outf.dtype
+    mm_dt = jnp.bfloat16 if (mxu_bf16 or io_dt == jnp.bfloat16) else jnp.float32
+    _reset_carries(j, h_scr, c_scr, carry_f, buf_b)
+
+    # ---- build k=4 windows in VMEM (lane concat of shifted C-slices) ----
+    def windows(cur, nxt):
+        cat = jnp.concatenate([cur, nxt[:_KS - 1]], axis=0)  # [cs+3, tb, C]
+        return jnp.concatenate(
+            [cat[t : t + _CHUNK] for t in range(_KS)], axis=-1)
+
+    def store(ref, val):
+        ref[:] = val
+
+    _advance_and_fold(
+        windows(xf_cur[:], xf_nxt[:]).astype(mm_dt),
+        windows(xb_cur[:], xb_nxt[:]).astype(mm_dt),
+        w_ih, w_hh, bias, wd, outf, outb,
+        h_scr, c_scr, carry_f, buf_b, hbuf_f, hbuf_b, store,
+        hidden=hidden, cdim=cdim, L=L, n_real=n_real,
+        j=j, m=n_real - 1 - j, mm_dt=mm_dt, io_dt=io_dt)
 
 
 @functools.partial(jax.jit, static_argnames=("mxu_bf16",))
@@ -190,25 +225,15 @@ def grid_bilstm_fold(x: Array, w_ih: Array, w_hh: Array, bias: Array,
 
     hp = _round_up(hidden, LANE)
     kc = _KS * cdim
-    w_ih_p = jnp.stack([_pad_gate_cols(w_ih[z], hidden, hp) for z in range(2)])
-    w_hh_p = jnp.stack([_pad_gate_cols(w_hh[z], hidden, hp) for z in range(2)])
-    bias_p = jnp.stack([_pad_gate_cols(bias[z][None, :], hidden, hp)[0]
-                        for z in range(2)])[None]  # [1, 2, 4H']
-    if hp != hidden:
-        w_hh_p = jnp.pad(w_hh_p, ((0, 0), (0, hp - hidden), (0, 0)))
-    # deconv kernel: per-direction row blocks, zero-pad rows H -> H'
-    wd = jnp.stack([
-        jnp.pad(w_deconv[:hidden], ((0, hp - hidden), (0, 0))),
-        jnp.pad(w_deconv[hidden:], ((0, hp - hidden), (0, 0))),
-    ])  # [2, H', 4C]
+    w_ih_p, w_hh_p, bias_p, wd = _prep_weights(
+        w_ih, w_hh, bias, w_deconv, hidden, hp)
 
     # Batch tile: bigger tiles mean fewer sequential (tile, chunk) steps but
     # proportionally wider per-step VPU gate ops — measured NEUTRAL across
     # 32/64/128/256 on v5e (the kernel is VPU-throughput-bound, and total
     # gate work is tile-invariant; BENCH_NOTES round-2). 64 is the safe
-    # VMEM default; the env knob exists for re-sweeps on other TPU gens.
-    max_tile = int(os.environ.get("FDBM_TPU_GRIDRNN_TILE", "64"))
-    tile_b = min(_round_up(b, 8), max_tile)
+    # VMEM default.
+    tile_b = min(_round_up(b, 8), 64)
     bp = _round_up(b, tile_b)
     sp = _round_up(L, _CHUNK)
     n_real = sp // _CHUNK
@@ -309,16 +334,9 @@ def _canvas_kernel(xf_cur, xf_nxt, xb_cur, xb_nxt, w_ih, w_hh, bias, wd,
     """One (b, tile, step) of the canvas grid RNN. Blocks: [1, cs, tb, C]."""
     j = pl.program_id(2)
     cs = _CHUNK
-    tb = xf_cur.shape[2]
     io_dt = outf.dtype
     mm_dt = jnp.bfloat16 if (mxu_bf16 or io_dt == jnp.bfloat16) else jnp.float32
-
-    @pl.when(j == 0)
-    def _():
-        h_scr[:] = jnp.zeros_like(h_scr)
-        c_scr[:] = jnp.zeros_like(c_scr)
-        carry_f[:] = jnp.zeros_like(carry_f)
-        buf_b[:] = jnp.zeros_like(buf_b)
+    _reset_carries(j, h_scr, c_scr, carry_f, buf_b)
 
     def windows(cur, nxt, r0):
         cat = jnp.concatenate([cur[0], nxt[0][:_KS - 1]], axis=0)
@@ -329,59 +347,17 @@ def _canvas_kernel(xf_cur, xf_nxt, xb_cur, xb_nxt, w_ih, w_hh, bias, wd,
         return jnp.concatenate(
             [cat[t : t + cs] for t in range(_KS)], axis=-1)  # [cs, tb, 4C]
 
+    def store(ref, val):
+        ref[0] = val
+
     m = n_real - 1 - j  # backward z block (garbage at j == n_real)
-    winf = windows(xf_cur, xf_nxt, j * cs).astype(mm_dt)
-    winb = windows(xb_cur, xb_nxt, m * cs).astype(mm_dt)
-
-    xgf = jnp.dot(winf.reshape(cs * tb, _KS * cdim), w_ih[0].astype(mm_dt),
-                  preferred_element_type=jnp.float32) + bias[0, 0]
-    xgb = jnp.dot(winb.reshape(cs * tb, _KS * cdim), w_ih[1].astype(mm_dt),
-                  preferred_element_type=jnp.float32) + bias[0, 1]
-    xgf = xgf.reshape(cs, tb, 4 * hidden)
-    xgb = xgb.reshape(cs, tb, 4 * hidden)
-
-    whf = w_hh[0].astype(mm_dt)
-    whb = w_hh[1].astype(mm_dt)
-
-    for s in range(cs):
-        sb = cs - 1 - s
-        h = h_scr[:].astype(mm_dt)
-        gf = xgf[s] + jnp.dot(h[:tb], whf, preferred_element_type=jnp.float32)
-        gb = xgb[sb] + jnp.dot(h[tb:], whb, preferred_element_type=jnp.float32)
-        gates = jnp.concatenate([gf, gb], axis=0)  # [2*tb, 4H]
-        i = jax.nn.sigmoid(gates[:, 0 * hidden : 1 * hidden])
-        f = jax.nn.sigmoid(gates[:, 1 * hidden : 2 * hidden])
-        g = jnp.tanh(gates[:, 2 * hidden : 3 * hidden])
-        o = jax.nn.sigmoid(gates[:, 3 * hidden : 4 * hidden])
-        c = f * c_scr[:] + i * g
-        hn = o * jnp.tanh(c)
-        # Backward carry stays zero while its position is in the padded
-        # tail (p >= L), so it enters the last REAL row fresh.
-        p_b = m * cs + sb
-        live_b = (p_b < L).astype(jnp.float32)
-        mask = jnp.concatenate(
-            [jnp.ones((tb, 1), jnp.float32),
-             jnp.full((tb, 1), live_b, jnp.float32)], axis=0)
-        c_scr[:] = c * mask
-        h_scr[:] = hn * mask
-        hbuf_f[s] = hn[:tb]
-        hbuf_b[sb] = hn[tb:] * live_b
-
-    zf = jnp.dot(hbuf_f[:].reshape(cs * tb, hidden), wd[0],
-                 preferred_element_type=jnp.float32).reshape(cs, tb, _KS * cdim)
-    zb = jnp.dot(hbuf_b[:].reshape(cs * tb, hidden), wd[1],
-                 preferred_element_type=jnp.float32).reshape(cs, tb, _KS * cdim)
-    live = (j < n_real).astype(jnp.float32)
-    cf = _fold19(zf, cdim, tb) * live  # [cs+3, tb, C]
-    cb = _fold19(zb, cdim, tb) * live
-
-    pad13 = jnp.zeros((cs - (_KS - 1), tb, cdim), jnp.float32)
-    outf[0] = (cf[:cs] + jnp.concatenate([carry_f[:], pad13], axis=0)
-               ).astype(io_dt)
-    carry_f[:] = cf[cs:]
-    outb[0] = (buf_b[:] + jnp.concatenate([cb[cs:], pad13], axis=0)
-               ).astype(io_dt)
-    buf_b[:] = cb[:cs]
+    _advance_and_fold(
+        windows(xf_cur, xf_nxt, j * cs).astype(mm_dt),
+        windows(xb_cur, xb_nxt, m * cs).astype(mm_dt),
+        w_ih, w_hh, bias, wd, outf, outb,
+        h_scr, c_scr, carry_f, buf_b, hbuf_f, hbuf_b, store,
+        hidden=hidden, cdim=cdim, L=L, n_real=n_real,
+        j=j, m=m, mm_dt=mm_dt, io_dt=io_dt)
 
 
 def _pick_tile(p: int, max_tile: int) -> int:
@@ -420,17 +396,13 @@ def grid_rnn_seq1(x: Array, w_ih: Array, w_hh: Array, bias: Array,
 
     hp = _round_up(hidden, LANE)
     kc = _KS * cdim
-    w_ih_p = jnp.stack([_pad_gate_cols(w_ih[z], hidden, hp) for z in range(2)])
-    w_hh_p = jnp.stack([_pad_gate_cols(w_hh[z], hidden, hp) for z in range(2)])
-    bias_p = jnp.stack([_pad_gate_cols(bias[z][None, :], hidden, hp)[0]
-                        for z in range(2)])[None]  # [1, 2, 4H']
-    if hp != hidden:
-        w_hh_p = jnp.pad(w_hh_p, ((0, 0), (0, hp - hidden), (0, 0)))
-    wd = jnp.stack([
-        jnp.pad(w_deconv[:hidden], ((0, hp - hidden), (0, 0))),
-        jnp.pad(w_deconv[hidden:], ((0, hp - hidden), (0, 0))),
-    ])  # [2, H', 4C]
+    w_ih_p, w_hh_p, bias_p, wd = _prep_weights(
+        w_ih, w_hh, bias, w_deconv, hidden, hp)
 
+    # The env knob caps the waste-minimising tile choice (read at trace
+    # time; applies only to this canvas kernel — grid_bilstm_fold keeps a
+    # fixed 64). 88 fits VMEM at C=32/H<=128 and leaves <1% pad waste on
+    # the 262/263-row production canvases.
     tile = _pick_tile(p_true, int(os.environ.get("FDBM_TPU_GRIDRNN_TILE", "88")))
     n_tiles = -(-p_true // tile)
     n_real = -(-L // _CHUNK)

@@ -3,11 +3,14 @@
 Isolates the per-sampler-step cost (bench.py = 30 of these + STFT/iSTFT)
 so kernel/dataflow changes can be measured in seconds instead of minutes.
 
-Usage: python tools/microbench_forward.py [fp32|bf16] [iters]
+Usage: python tools/microbench_forward.py [fp32|bf16]
 """
 
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
@@ -15,12 +18,12 @@ import numpy as np
 
 from fdbm_tpu.models import BackboneRegistry
 from fdbm_tpu.utils.compilation_cache import setup_compilation_cache
+from tools.timing import chain_time
 
 
 def main():
     setup_compilation_cache()
     dt = jnp.bfloat16 if (len(sys.argv) > 1 and sys.argv[1] == "bf16") else jnp.float32
-    iters = int(sys.argv[2]) if len(sys.argv) > 2 else 8
     b, f, t = 16, 257, 256
     on_tpu = jax.default_backend() == "tpu"
     dnn = BackboneRegistry.get_by_name("tfgridnet_5l32c100")(
@@ -45,25 +48,18 @@ def main():
         y = jax.lax.complex(yr, yi)
         return jnp.real(dnn.apply(params, x, y, tt))
 
-    import os
-
-    sys.path.insert(0, os.getcwd())  # run from the repo root
-    from tools.timing import chain_time
-
-    args = (params, xi, yr, yi, tt)
     t0 = time.perf_counter()
-    out = fwd(params, xr, *args[1:])
-    out.block_until_ready()
+    fwd(params, xr, xi, yr, yi, tt).block_until_ready()
     print(f"compile+first: {time.perf_counter() - t0:.1f}s")
 
     # chained timing (tools/timing.py): naive dispatch wall-clocking is
     # untrustworthy on the tunnelled runtime
-    best = chain_time(lambda a: fwd(params, a, *args[1:]), xr)
+    best = chain_time(lambda a: fwd(params, a, xi, yr, yi, tt), xr)
     audio_s = b * (t - 1) * 256 / 16000
     print(f"forward: {best*1e3:.1f} ms  ({dt.__name__})  "
           f"-> 30-step bound {audio_s/(30*best):.2f} audio-s/s")
 
-    co = fwd.lower(params, xr, *args[1:]).compile().cost_analysis()
+    co = fwd.lower(params, xr, xi, yr, yi, tt).compile().cost_analysis()
     if co:
         print(f"flops={co.get('flops', 0)/1e9:.1f} G  "
               f"bytes={co.get('bytes accessed', 0)/1e9:.1f} GB  "

@@ -33,8 +33,13 @@ def _sync_scalar(x) -> float:
     return float(_reduce(x))
 
 
-def chain_time(f, x0, k_short: int = 2, k_long: int = 10, reps: int = 1) -> float:
-    """Per-call device seconds of x -> f(x) (same-shape in/out), slope method."""
+def chain_time(f, x0, k_short: int = 2, k_long: int = 10, reps: int = 2) -> float:
+    """Per-call device seconds of x -> f(x) (same-shape in/out), slope method.
+
+    Tunnel latency noise is strictly additive, so the estimator takes
+    min over the long runs minus min over the short runs (min over
+    *pairwise* slopes would let one noisy short run bias the result low).
+    """
 
     def run(k: int) -> float:
         x = x0
@@ -45,9 +50,6 @@ def chain_time(f, x0, k_short: int = 2, k_long: int = 10, reps: int = 1) -> floa
         return time.perf_counter() - t0
 
     run(1)  # warmup/compile
-    best = float("inf")
-    for _ in range(reps):
-        t_short = run(k_short)
-        t_long = run(k_long)
-        best = min(best, (t_long - t_short) / (k_long - k_short))
-    return best
+    shorts = [run(k_short) for _ in range(reps)]
+    longs = [run(k_long) for _ in range(reps)]
+    return (min(longs) - min(shorts)) / (k_long - k_short)
