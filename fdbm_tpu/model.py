@@ -134,6 +134,12 @@ class FDBMConfig:
     # micro-batch accumulation (reference --accumulate_grad_batches,
     # train.py:82): optimiser applies every k-th step via optax.MultiSteps.
     accumulate_grad_batches: int = 1
+    # Rematerialise each backbone block in the training backward pass
+    # (jax.checkpoint): trades ~1/3 more forward FLOPs for O(depth) less
+    # activation memory — batch 8 x 256-frame TF-GridNet crops fit v5e-1
+    # HBM only with this on (without it the 10 BiLSTM activation streams
+    # OOM). No effect on inference.
+    remat: bool = False
 
     @classmethod
     def from_dict(cls, d: Dict[str, Any]) -> "FDBMConfig":
@@ -158,7 +164,7 @@ class FDBM:
         # replaces the XLA scan on TPU (fast compile + VMEM-resident
         # recurrence for both passes).
         self.dnn = BackboneRegistry.get_by_name(cfg.backbone)(
-            dtype=dtype, use_pallas_train=on_tpu)
+            dtype=dtype, use_pallas_train=on_tpu, remat=cfg.remat)
         # Sampling-path twin with the Pallas LSTM recurrence kernel (same
         # parameters; forward-only). Enabled on TPU where it cuts compile
         # time by orders of magnitude and keeps the recurrence in VMEM.

@@ -264,6 +264,11 @@ class TFGridNet(nn.Module):
     dtype: Dtype = jnp.float32
     use_pallas: bool = False
     use_pallas_train: bool = False
+    # Rematerialise each block under autodiff (jax.checkpoint): the 10
+    # BiLSTM activation streams dominate training HBM; remat trades ~1/3
+    # more forward FLOPs for O(n_layers) less live memory (batch 8 x
+    # 256-frame crops fit v5e-1 only with this on). No-op at inference.
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x: Array, y: Array, t: Array = None) -> Array:
@@ -290,11 +295,12 @@ class TFGridNet(nn.Module):
             temb = nn.Dense(c * 4, dtype=self.dtype, name="time_fc2")(temb)
             temb = nn.silu(temb)
 
+        block_cls = nn.remat(GridNetBlock) if self.remat else GridNetBlock
         for i in range(self.n_layers):
             if self.time_conditioned:
                 bias = nn.Dense(c, dtype=self.dtype, name=f"time_block_{i}")(temb)
                 h = h + bias[:, None, None, :]
-            h = GridNetBlock(
+            h = block_cls(
                 emb_dim=c, hidden=self.hidden, n_head=self.n_head,
                 qk_output_channel=self.qk_output_channel, dtype=self.dtype,
                 use_pallas=self.use_pallas,
@@ -324,6 +330,7 @@ def _make_variant(n_layers, emb_dim, hidden, time_conditioned, **kwargs):
         dtype=kwargs.get("dtype", jnp.float32),
         use_pallas=kwargs.get("use_pallas", False),
         use_pallas_train=kwargs.get("use_pallas_train", False),
+        remat=kwargs.get("remat", False),
     )
 
 

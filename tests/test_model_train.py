@@ -194,3 +194,20 @@ def test_parallel_enhance_matches_single_device():
     m = np.asarray(multi)
     rel = np.linalg.norm(s - m) / (np.linalg.norm(s) + 1e-9)
     assert rel < 1e-2, rel
+
+
+def test_remat_gradients_match():
+    """cfg.remat wraps blocks in jax.checkpoint — gradients must be
+    bit-identical to the unremat'd backward (it only changes scheduling)."""
+    batch = _batch(b=2)
+    grads = {}
+    for rem in (False, True):
+        cfg = FDBMConfig(mode="generative", remat=rem,
+                         loss_type="data_prediction_hybrid", **SMALL)
+        fdbm = FDBM(cfg)
+        params = fdbm.init_params(jax.random.PRNGKey(0))
+        grads[rem] = jax.grad(
+            lambda p: fdbm.loss_fn(p, batch, jax.random.PRNGKey(1)))(params)
+    diffs = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.abs(a - b).max()), grads[False], grads[True])
+    assert max(jax.tree_util.tree_leaves(diffs)) < 1e-5
