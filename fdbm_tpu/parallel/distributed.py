@@ -18,10 +18,19 @@ equivalent for pods:
 
 from __future__ import annotations
 
-from typing import Dict, Optional
+from typing import Dict, Optional, Sequence
 
 import jax
 import numpy as np
+
+# Fixed cross-host metric schema for validation epochs.  Every process
+# must contribute the SAME ordered key set to the allgather below even
+# when its local eval shard produced no value for a key (count=0) — a
+# per-host key set would misalign (or hang) process_allgather, which
+# assumes identical shapes/ordering on every participant.  Mirrors the
+# reference's `sync_dist=True` robustness (fdbm/model.py:297-312,353-354),
+# where Lightning reduces a fixed set of logged names.
+VALID_METRIC_SCHEMA = ("valid_loss", "si_sdr", "pesq", "estoi")
 
 
 def initialize(coordinator_address: Optional[str] = None,
@@ -47,24 +56,40 @@ def initialize(coordinator_address: Optional[str] = None,
 
 
 def all_gather_host_metrics(metrics: Dict[str, float],
-                            counts: Optional[Dict[str, int]] = None
+                            counts: Optional[Dict[str, int]] = None,
+                            schema: Optional[Sequence[str]] = None
                             ) -> Dict[str, float]:
     """Average scalar metrics across hosts (weighted by counts if given).
 
     Single-host: returns the input unchanged.  Multi-host: each metric is
-    summed over processes via a jitted psum over a process-spanning array
+    summed over processes via an allgather over a process-spanning array
     and divided by the total count.
+
+    ``schema`` fixes the key set and ordering exchanged across hosts.
+    Multi-host callers MUST pass the same schema on every process (e.g.
+    :data:`VALID_METRIC_SCHEMA`) and must call this even when their local
+    ``metrics`` is empty — keys absent locally contribute value 0 with
+    count 0, keys with zero total count across all hosts are dropped from
+    the result.  Without a schema the key set is taken from ``metrics``,
+    which is only safe when every host provably produces identical keys.
     """
     if jax.process_count() == 1:
         return dict(metrics)
-    keys = sorted(metrics)
-    vals = np.array([metrics[k] for k in keys], np.float64)
-    cnts = np.array([(counts or {}).get(k, 1) for k in keys], np.float64)
+    keys = list(schema) if schema is not None else sorted(metrics)
+    vals = np.array([metrics.get(k, 0.0) for k in keys], np.float64)
+    if counts is None:
+        cnts = np.array([1.0 if k in metrics else 0.0 for k in keys],
+                        np.float64)
+    else:
+        cnts = np.array(
+            [counts.get(k, 1 if k in metrics else 0) for k in keys],
+            np.float64)
 
     from jax.experimental import multihost_utils
 
     gathered_v = multihost_utils.process_allgather(vals * cnts)
     gathered_c = multihost_utils.process_allgather(cnts)
     total_v = np.sum(gathered_v, axis=0)
-    total_c = np.maximum(np.sum(gathered_c, axis=0), 1.0)
-    return {k: float(total_v[i] / total_c[i]) for i, k in enumerate(keys)}
+    total_c = np.sum(gathered_c, axis=0)
+    return {k: float(total_v[i] / total_c[i])
+            for i, k in enumerate(keys) if total_c[i] > 0}

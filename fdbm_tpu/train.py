@@ -299,12 +299,17 @@ class Trainer:
                     sub, sample_dir=self.sample_dir, epoch=epoch)
                 val_metrics.update(eval_metrics)
                 val_metric_counts.update(eval_counts)
-            if val_metrics:
-                # sync_dist equivalent: item-count-weighted mean across hosts
-                from fdbm_tpu.parallel.distributed import all_gather_host_metrics
+            # sync_dist equivalent: item-count-weighted mean across hosts.
+            # Every process calls the gather unconditionally with the fixed
+            # VALID_METRIC_SCHEMA — a host whose eval shard was empty (or
+            # whose PESQ all failed) contributes count-0 entries instead of
+            # skipping the collective, which would desync process_allgather.
+            from fdbm_tpu.parallel.distributed import (VALID_METRIC_SCHEMA,
+                                                       all_gather_host_metrics)
 
-                val_metrics = all_gather_host_metrics(val_metrics,
-                                                      val_metric_counts)
+            val_metrics = all_gather_host_metrics(
+                val_metrics, val_metric_counts, schema=VALID_METRIC_SCHEMA)
+            if val_metrics:
                 self.logger.log(step, val_metrics)
             self.ckpt.save(state, val_metrics)
             epoch += 1

@@ -120,3 +120,70 @@ def test_two_process_matches_single_process(tmp_path):
                                float(multi["grad_norm"]), rtol=1e-2)
     single_leaf = np.asarray(jax.tree_util.tree_leaves(new_state.params)[0])
     np.testing.assert_allclose(multi["leaf"], single_leaf, atol=1e-3)
+
+
+METRICS_WORKER = textwrap.dedent("""
+    import sys
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_cpu_collectives_implementation", "gloo")
+    port, pid, out = sys.argv[1], int(sys.argv[2]), sys.argv[3]
+    jax.distributed.initialize(f"localhost:{port}", num_processes=2,
+                               process_id=pid)
+    sys.path.insert(0, %r)
+
+    import json
+    import numpy as np
+    from fdbm_tpu.parallel.distributed import (VALID_METRIC_SCHEMA,
+                                               all_gather_host_metrics)
+
+    # Process 0 computed si_sdr on 3 files and pesq on 2 (one PESQ failed);
+    # process 1's [pi::pc] eval shard was EMPTY: no metrics at all.  Both
+    # must still enter the collective in lockstep via the fixed schema.
+    if pid == 0:
+        metrics = {"valid_loss": 2.0, "si_sdr": 10.0, "pesq": 3.0}
+        counts = {"valid_loss": 4, "si_sdr": 3, "pesq": 2}
+    else:
+        metrics, counts = {}, {}
+    gathered = all_gather_host_metrics(metrics, counts,
+                                       schema=VALID_METRIC_SCHEMA)
+    with open(f"{out}.p{pid}.json", "w") as f:
+        json.dump(gathered, f)
+""" % (REPO,))
+
+
+@pytest.mark.slow
+def test_metric_gather_with_empty_host_shard(tmp_path):
+    """One host with zero eval files must not desync/hang the metric gather
+    (VERDICT r2 item 2; reference sync_dist semantics model.py:297-312)."""
+    worker_py = tmp_path / "metrics_worker.py"
+    worker_py.write_text(METRICS_WORKER)
+    out = tmp_path / "metrics"
+    port = _free_port()
+
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    procs = [
+        subprocess.Popen([sys.executable, str(worker_py), str(port), str(i),
+                          str(out)],
+                         env=env, stdout=subprocess.PIPE,
+                         stderr=subprocess.STDOUT)
+        for i in range(2)
+    ]
+    outputs = [p.communicate(timeout=300)[0].decode() for p in procs]
+    for i, p in enumerate(procs):
+        assert p.returncode == 0, f"worker {i} failed:\n{outputs[i]}"
+
+    import json
+
+    results = [json.loads((tmp_path / f"metrics.p{i}.json").read_text())
+               for i in range(2)]
+    # both hosts see the identical global averages
+    assert results[0] == results[1]
+    got = results[0]
+    # count-weighted means over the only contributing host
+    assert got["valid_loss"] == pytest.approx(2.0)
+    assert got["si_sdr"] == pytest.approx(10.0)
+    assert got["pesq"] == pytest.approx(3.0)
+    # estoi had zero total count everywhere -> dropped, not NaN/0
+    assert "estoi" not in got
