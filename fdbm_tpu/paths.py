@@ -119,7 +119,11 @@ class SBPath(ProbabilityPath):
             raise ValueError(f"Unknown SB noise schedule {self.noise_schedule}")
 
         alpha_bar_t = alpha_t / (alpha_T + self.eps)
-        rho_bar_t = jnp.sqrt(rho_T ** 2 - rho_t ** 2 + self.eps)
+        # Clamp before the sqrt: at t == T the difference is analytically 0
+        # but XLA's fused rounding can land a hair below -eps (eager fp32
+        # happens not to), which would poison the whole sampler with NaNs.
+        rho_bar_t = jnp.sqrt(
+            jnp.maximum(rho_T ** 2 - rho_t ** 2, 0.0) + self.eps)
         return rho_t, rho_T, rho_bar_t, alpha_t, alpha_T, alpha_bar_t
 
     def _f_g(self, t: Array):
@@ -202,7 +206,9 @@ class SBPath(ProbabilityPath):
         rho_p, _, _, alpha_p, _, _ = self._rhos_alphas(t_prev)
         rho_c, _, _, alpha_c, _, _ = self._rhos_alphas(t_curr)
         w_xt = alpha_c * rho_c ** 2 / (alpha_p * rho_p ** 2 + self.eps)
-        tmp = 1.0 - rho_c ** 2 / (rho_p ** 2 + self.eps)
+        # tmp is analytically >= 0 in reverse sampling (rho_c <= rho_p);
+        # clamp so fused rounding can't push it under 0 into sqrt(NaN).
+        tmp = jnp.maximum(1.0 - rho_c ** 2 / (rho_p ** 2 + self.eps), 0.0)
         w_s = alpha_c * tmp
         w_z = alpha_c * rho_c * jnp.sqrt(tmp)
         return w_xt, w_s, w_z
@@ -256,8 +262,6 @@ class FMPath(ProbabilityPath):
         return w_xt, w_s, w_y
 
     def sampling_param_sde_ei(self, t_curr: Array, t_prev: Array):
-        # FM is deterministic: reuse ODE-EI weights with zero noise weight.
-        w_xt, w_s, w_y = self.sampling_param_ode_ei(t_curr, t_prev)
         raise NotImplementedError(
             "FM path has no SDE-EI sampler (reference defines none); "
             "use sampler_type='ode_ei'."

@@ -22,7 +22,7 @@ time vector, like the reference backbone signature.
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable
+from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
@@ -82,10 +82,17 @@ class Bridge:
         mean = a_t[bcast] * s + b_t[bcast] * y
         return mean, sigma_t
 
-    def prior_sampling(self, key: jax.Array, y: Array) -> Array:
+    def prior_sampling(self, key: jax.Array, y: Array,
+                       z: Optional[Array] = None) -> Array:
+        """x_start = b_start*y + sigma_start*z (bridge.py:45-49).
+
+        ``z`` overrides the CN(0,1) draw — the hook the cross-framework
+        common-noise parity tests use to feed both samplers identical
+        noise (and a reproducibility hook generally)."""
         t0 = jnp.full((y.shape[0],), self.start_time, jnp.float32)
         _, b0, sig0 = self.path.path_param(t0)
-        z = complex_normal_like(key, y)
+        if z is None:
+            z = complex_normal_like(key, y)
         bcast = (slice(None),) + (None,) * (y.ndim - 1)
         return y * b0[bcast] + z * sig0[bcast]
 
@@ -128,27 +135,40 @@ class Bridge:
         x, _ = lax.scan(step, x0, (w_xt, w_s, w_y, t_prev), unroll=unroll)
         return x
 
-    def sde_sampler_ei(self, model_fn: ModelFn, y: Array, key: jax.Array) -> Array:
+    def sde_sampler_ei(self, model_fn: ModelFn, y: Array, key: jax.Array,
+                       noise: Optional[Array] = None) -> Array:
+        """EI SDE sampler (bridge.py:89-113).
+
+        ``noise`` (optional, ``[N+1, *y.shape]`` complex) overrides every
+        RNG draw: ``noise[0]`` is the prior draw, ``noise[1:]`` the N
+        per-step SDE noises — used by the common-noise parity tests to run
+        this sampler and the reference on identical draws."""
         times = self.time_grid()
         t_prev, t_curr = times[:-1], times[1:]
         w_xt, w_s, w_z = self.path.sampling_param_sde_ei(t_curr, t_prev)
         # Final step is deterministic (bridge.py:105-106).
         w_z = w_z.at[-1].set(0.0)
-        key, prior_key = jax.random.split(key)
-        x0 = self.prior_sampling(prior_key, y)
-        step_keys = jax.random.split(key, self.N)
         batch = y.shape[0]
+        if noise is None:
+            key, prior_key = jax.random.split(key)
+            x0 = self.prior_sampling(prior_key, y)
+            zs = jax.random.split(key, self.N)
+            draw = lambda per: complex_normal_like(per, y)
+        else:
+            x0 = self.prior_sampling(key, y, z=noise[0])
+            zs = jnp.asarray(noise[1:])
+            draw = lambda per: per
 
         def step(x, per_step):
-            wxt, ws, wz, tp, k = per_step
+            wxt, ws, wz, tp, per = per_step
             est = model_fn(x, y, jnp.full((batch,), tp, jnp.float32))
-            z = complex_normal_like(k, x)
+            z = draw(per)
             x = wxt.astype(jnp.complex64) * x + ws.astype(jnp.complex64) * est \
                 + wz.astype(jnp.complex64) * z
             return x, None
 
         unroll = self.N if self.N <= self.unroll_threshold else 1
-        x, _ = lax.scan(step, x0, (w_xt, w_s, w_z, t_prev, step_keys),
+        x, _ = lax.scan(step, x0, (w_xt, w_s, w_z, t_prev, zs),
                         unroll=unroll)
         return x
 
@@ -162,6 +182,7 @@ class Bridge:
         denoise: bool = True,
         snr: float = 0.5,
         corrector_steps: int = 1,
+        noise: Optional[Array] = None,
     ) -> Array:
         """Predictor-corrector sampler (reference: bridge.py:142-166).
 
@@ -171,6 +192,12 @@ class Bridge:
         keep it as a documented alias for the no-op predictor, but any
         other unknown name raises instead of silently sampling without a
         predictor/corrector.
+
+        ``noise`` (optional, ``[1 + N*(corrector_steps+1), *y.shape]``
+        complex) overrides every RNG draw in reference consumption order:
+        ``noise[0]`` is the prior draw; per sampler step the next
+        ``corrector_steps`` entries are the corrector noises followed by
+        one predictor noise (parity-testing hook).
         """
         known_predictors = ("euler_maruyama", "none", "reverse_diffusion")
         known_correctors = ("langevin", "ald", "none")
@@ -186,19 +213,28 @@ class Bridge:
         stepsizes = jnp.concatenate(
             [timesteps[:-1] - timesteps[1:], timesteps[-1:]]
         )
-        key, prior_key = jax.random.split(key)
-        x0 = self.prior_sampling(prior_key, y)
-        step_keys = jax.random.split(key, self.N)
+        if noise is None:
+            key, prior_key = jax.random.split(key)
+            x0 = self.prior_sampling(prior_key, y)
+            step_zs = jax.random.split(key, self.N)
+            draw = lambda per, j: complex_normal_like(
+                jax.random.fold_in(per, j), y)
+        else:
+            x0 = self.prior_sampling(key, y, z=noise[0])
+            # [N, corrector_steps+1, *y.shape]: per step, corrector noises
+            # then the predictor noise (reference draw order).
+            step_zs = jnp.asarray(noise[1:]).reshape(
+                (self.N, corrector_steps + 1) + y.shape)
+            draw = lambda per, j: per[j]
         batch = y.shape[0]
         bcast = (slice(None),) + (None,) * (y.ndim - 1)
 
-        def corrector_update(x, t_vec, k):
+        def corrector_update(x, t_vec, per):
             x_mean = x
             for i in range(corrector_steps):
-                k, sub = jax.random.split(k)
                 s = model_fn(x, y, t_vec)
                 grad = self.score_fn(t_vec, x, s, y)
-                noise = complex_normal_like(sub, x)
+                noise = draw(per, i)
                 if corrector_name == "langevin":
                     grad_norm = jnp.mean(
                         jnp.linalg.norm(jnp.abs(grad).reshape(batch, -1), axis=-1)
@@ -219,11 +255,11 @@ class Bridge:
                 x = x_mean + noise * jnp.sqrt(step_size * 2)[bcast]
             return x, x_mean
 
-        def predictor_update(x, t_vec, stepsize, k):
+        def predictor_update(x, t_vec, stepsize, per):
             if predictor_name != "euler_maruyama":
                 return x, x  # no-op predictor
             dt = -stepsize
-            z = complex_normal_like(k, x)
+            z = draw(per, corrector_steps)
             s = model_fn(x, y, t_vec)
             w_x, w_s, w_y, diffusion = self.path.sde_weights(t_vec)
             drift = w_x[bcast] * x + w_s[bcast] * s + w_y[bcast] * y
@@ -233,16 +269,15 @@ class Bridge:
 
         def step(carry, per_step):
             x, _ = carry
-            t, stepsize, k = per_step
-            kc, kp = jax.random.split(k)
+            t, stepsize, per = per_step
             t_vec = jnp.full((batch,), t, jnp.float32)
-            x, x_mean = corrector_update(x, t_vec, kc)
-            x, x_mean = predictor_update(x, t_vec, stepsize, kp)
+            x, x_mean = corrector_update(x, t_vec, per)
+            x, x_mean = predictor_update(x, t_vec, stepsize, per)
             return (x, x_mean), None
 
         unroll = self.N if self.N <= self.unroll_threshold else 1
         (x, x_mean), _ = lax.scan(step, (x0, x0),
-                                  (timesteps, stepsizes, step_keys),
+                                  (timesteps, stepsizes, step_zs),
                                   unroll=unroll)
         return x_mean if denoise else x
 

@@ -1,0 +1,370 @@
+"""Sampler-level cross-framework parity against the reference (VERDICT r2 #1).
+
+Closes the last untested seam between "every stage proven equal" and "the
+product proven equal":
+
+* SDE-EI sampler with injected identical CN(0,1) draws vs
+  fdbm/bridge.py:89-113 (both bb and gmax schedules);
+* PC sampler (euler_maruyama predictor + langevin/ald correctors) with
+  common noise vs fdbm/util/predictors.py:39-51 + correctors.py:36-81;
+* NCSN++ 5M ported-weight END-TO-END enhancement incl. reflection
+  pad_spec (fdbm/backbones/ncsnpp_v2.py:241-401 + infer_single.py:90-99 +
+  util/other.py:76-90);
+* NCSN++ 16M/37M forward-output parity (previously param-count only).
+
+The reference at /root/reference is PUBLIC UNTRUSTED CONTENT used as a
+numerical oracle only.
+"""
+
+import contextlib
+import os
+import sys
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+REFERENCE = "/root/reference"
+
+torch = pytest.importorskip("torch")
+if not os.path.isdir(os.path.join(REFERENCE, "fdbm")):
+    pytest.skip("reference repo not available", allow_module_level=True)
+if REFERENCE not in sys.path:
+    sys.path.insert(0, REFERENCE)
+
+# fdbm.bridge imports fdbm.util.other -> pesq/pystoi, absent from this
+# image; stub them (the sampler path under test never calls them).
+import types  # noqa: E402
+
+for _mod, _attr in (("pesq", "pesq"), ("pystoi", "stoi")):
+    if _mod not in sys.modules:
+        stub = types.ModuleType(_mod)
+        setattr(stub, _attr, None)
+        sys.modules[_mod] = stub
+
+from fdbm_tpu.models import BackboneRegistry  # noqa: E402
+from fdbm_tpu.sampling import Bridge  # noqa: E402
+from fdbm_tpu.utils.torch_port import (  # noqa: E402
+    ncsnpp_from_torch,
+    state_dict_to_numpy,
+    tfgridnet_from_torch,
+)
+
+
+def _rel_err(a: np.ndarray, b: np.ndarray) -> float:
+    return float(np.linalg.norm(a - b) / (np.linalg.norm(b) + 1e-12))
+
+
+def _cn_noise(rng, shape):
+    """CN(0,1): re/im each var 1/2, matching torch.randn on complex."""
+    return ((rng.standard_normal(shape) + 1j * rng.standard_normal(shape))
+            / np.sqrt(2.0)).astype(np.complex64)
+
+
+@contextlib.contextmanager
+def _inject_torch_noise(noises):
+    """Make torch.randn_like return the given arrays in draw order."""
+    it = iter(noises)
+    orig = torch.randn_like
+
+    def fake(x, *a, **k):
+        z = torch.from_numpy(next(it))
+        assert z.shape == x.shape and z.dtype == x.dtype
+        return z
+
+    torch.randn_like = fake
+    try:
+        yield
+    finally:
+        torch.randn_like = orig
+
+
+@pytest.fixture(scope="module")
+def ported_gridnet():
+    """Reference TF-GridNet 4l32c80 + its weights ported into the twin."""
+    from fdbm.backbones.tfgridnet import TFGridNet_4l32c80
+
+    torch.manual_seed(7)
+    ref = TFGridNet_4l32c80().eval()
+    flax_model = BackboneRegistry.get_by_name("tfgridnet_4l32c80")()
+    params = tfgridnet_from_torch(state_dict_to_numpy(ref.state_dict()),
+                                  n_layers=4, emb_dim=32)
+    return ref, flax_model, params
+
+
+def _model_fns(ref, flax_model, params):
+    def ref_model(x, y, t):
+        with torch.no_grad():
+            return ref(x, y, t)
+
+    def jax_model(x, y, t):
+        return flax_model.apply(params, x, y, t)
+
+    return ref_model, jax_model
+
+
+def _analytic_models():
+    """A shared closed-form 'backbone' so the sampler update formulas are
+    compared in isolation (zero network numerics in the error budget)."""
+    def ref_model(x, y, t):
+        return 0.9 * x + 0.1 * y
+
+    def jax_model(x, y, t):
+        return 0.9 * x + 0.1 * y
+
+    return ref_model, jax_model
+
+
+@pytest.mark.parametrize("schedule", ["bb", "gmax"])
+def test_sde_ei_sampler_common_noise_analytic(schedule):
+    """SDE-EI step formula with identical noise draws matches
+    bridge.py:89-113 exactly (analytic model isolates the weight math)."""
+    from fdbm.bridge import Bridge as RefBridge
+
+    ref_model, jax_model = _analytic_models()
+    n_steps, f, t = 4, 17, 24
+
+    rng = np.random.default_rng(11)
+    y = _cn_noise(rng, (2, 1, f, t)) * 0.3
+    # draw order (bridge.py:92,108): prior z, then one z per step
+    noises = [_cn_noise(rng, y.shape) for _ in range(n_steps + 1)]
+
+    ref_bridge = RefBridge("sb", N=n_steps, sampler_type="sde_ei",
+                           noise_schedule=schedule)
+    with _inject_torch_noise(noises):
+        ref_out = ref_bridge.sampler(ref_model, torch.from_numpy(y)).numpy()
+
+    bridge = Bridge.create("sb", N=n_steps, sampler_type="sde_ei",
+                           noise_schedule=schedule)
+    out = np.asarray(bridge.sde_sampler_ei(
+        jax_model, jnp.asarray(y), jax.random.PRNGKey(0),
+        noise=jnp.asarray(np.stack(noises))))
+
+    assert out.shape == ref_out.shape
+    err = _rel_err(out, ref_out)
+    assert err < 1e-5, f"sde_ei[{schedule}] analytic relative error {err}"
+
+
+def test_sde_ei_sampler_common_noise_dnn(ported_gridnet):
+    """Full SDE-EI parity with the ported TF-GridNet and common noise
+    (the production default sampler, config.yaml:6-7). Per-call backbone
+    agreement is <1e-4 (test_torch_parity) and the recurrence amplifies
+    it across steps, so the whole-sampler gate is SI-SDR-style 45 dB
+    (~6e-3 relative); the weight math itself is proven exact above."""
+    from fdbm.bridge import Bridge as RefBridge
+
+    ref, flax_model, params = ported_gridnet
+    ref_model, jax_model = _model_fns(ref, flax_model, params)
+    n_steps, f, t = 4, 17, 24
+
+    rng = np.random.default_rng(11)
+    y = _cn_noise(rng, (2, 1, f, t)) * 0.3
+    noises = [_cn_noise(rng, y.shape) for _ in range(n_steps + 1)]
+
+    ref_bridge = RefBridge("sb", N=n_steps, sampler_type="sde_ei",
+                           noise_schedule="bb")
+    with _inject_torch_noise(noises):
+        ref_out = ref_bridge.sampler(ref_model, torch.from_numpy(y)).numpy()
+
+    bridge = Bridge.create("sb", N=n_steps, sampler_type="sde_ei",
+                           noise_schedule="bb")
+    out = np.asarray(bridge.sde_sampler_ei(
+        jax_model, jnp.asarray(y), jax.random.PRNGKey(0),
+        noise=jnp.asarray(np.stack(noises))))
+
+    err = _rel_err(out, ref_out)
+    si_sdr = -20.0 * np.log10(err + 1e-12)
+    assert si_sdr > 45.0, f"sde_ei dnn common-noise SI-SDR {si_sdr:.1f} dB"
+
+
+def _ref_pc_sampler(ref_bridge, ref_model, y_t, corrector_name, cs):
+    """Reference PC sampler loop (bridge.py:142-166) with the real
+    reference corrector classes and a transcribed EulerMaruyamaPredictor
+    step (predictors.py:44-51).
+
+    The transcription exists because the reference predictor as written
+    CRASHES on 4-D specs: `path.sde` (bridge.py:294-306) assembles
+    `weight_xt * x` with `[B]` weights against `[B,1,F,T]` tensors — a
+    latent broadcast bug (the shipped configs never use the pc sampler's
+    euler_maruyama predictor).  We keep the reference's own `path.sde`
+    code as the weight oracle by extracting its per-batch weights through
+    linearity (drift(1,0,0) etc.) and apply the intended
+    `[:, None, None, None]` broadcast, exactly as predictors.py:50 does
+    for the diffusion term."""
+    from fdbm.util.correctors import CorrectorRegistry
+
+    n_steps = ref_bridge.N
+    corrector = CorrectorRegistry.get_by_name(corrector_name)(
+        ref_bridge, ref_model, snr=0.5, n_steps=cs)
+    with torch.no_grad():
+        xt = ref_bridge.prior_sampling(y_t)
+        timesteps = torch.linspace(ref_bridge.start_time,
+                                   ref_bridge.end_time, n_steps)
+        for i in range(n_steps):
+            t = timesteps[i]
+            stepsize = (t - timesteps[i + 1]) if i != n_steps - 1 \
+                else timesteps[-1]
+            vec_t = torch.ones(y_t.shape[0]) * t
+            xt, xt_mean = corrector.update_fn(xt, y_t, vec_t)
+            # EulerMaruyamaPredictor.update_fn, broadcast-fixed:
+            dt = -stepsize
+            z = torch.randn_like(xt)
+            s = ref_model(xt, y_t, vec_t)
+            ones = torch.ones_like(vec_t)
+            zeros = torch.zeros_like(vec_t)
+            w_x, gd = ref_bridge.path.sde(vec_t, ones, zeros, zeros)
+            w_s, _ = ref_bridge.path.sde(vec_t, zeros, ones, zeros)
+            w_y, _ = ref_bridge.path.sde(vec_t, zeros, zeros, ones)
+            drift = (w_x[:, None, None, None] * xt
+                     + w_s[:, None, None, None] * s
+                     + w_y[:, None, None, None] * y_t)
+            xt_mean = xt + drift * dt
+            xt = xt_mean + gd[:, None, None, None] * torch.sqrt(-dt) * z
+        return xt_mean  # denoise=True
+
+
+@pytest.mark.parametrize("corrector", ["ald", "langevin"])
+@pytest.mark.parametrize("model_kind", ["analytic", "dnn"])
+def test_pc_sampler_common_noise(ported_gridnet, corrector, model_kind):
+    """PC sampler (euler_maruyama + langevin/ald) with identical noise
+    matches util/predictors.py:39-51 + util/correctors.py:36-81.
+
+    The analytic-model variant proves the step formulas exactly; the
+    ported-dnn variant additionally covers the production path with a
+    step-amplification-aware 45 dB gate (see the SDE-EI tests)."""
+    from fdbm.bridge import Bridge as RefBridge
+
+    if model_kind == "analytic":
+        ref_model, jax_model = _analytic_models()
+    else:
+        ref, flax_model, params = ported_gridnet
+        ref_model, jax_model = _model_fns(ref, flax_model, params)
+    n_steps, cs, f, t = 3, 1, 17, 24
+
+    rng = np.random.default_rng(13)
+    y = _cn_noise(rng, (2, 1, f, t)) * 0.3
+    # draw order: prior z, then per step cs corrector noises + 1 predictor z
+    noises = [_cn_noise(rng, y.shape)
+              for _ in range(1 + n_steps * (cs + 1))]
+
+    ref_bridge = RefBridge("sb", N=n_steps, sampler_type="pc",
+                           noise_schedule="gmax")
+    with _inject_torch_noise(noises):
+        ref_out = _ref_pc_sampler(ref_bridge, ref_model, torch.from_numpy(y),
+                                  corrector, cs).numpy()
+
+    bridge = Bridge.create("sb", N=n_steps, sampler_type="pc",
+                           noise_schedule="gmax")
+    out = np.asarray(bridge.pc_sampler(
+        jax_model, jnp.asarray(y), jax.random.PRNGKey(0),
+        predictor_name="euler_maruyama", corrector_name=corrector,
+        denoise=True, snr=0.5, corrector_steps=cs,
+        noise=jnp.asarray(np.stack(noises))))
+
+    assert out.shape == ref_out.shape
+    err = _rel_err(out, ref_out)
+    if model_kind == "analytic":
+        assert err < 1e-5, f"pc[{corrector}] analytic relative error {err}"
+    else:
+        si_sdr = -20.0 * np.log10(err + 1e-12)
+        assert si_sdr > 45.0, f"pc[{corrector}] dnn SI-SDR {si_sdr:.1f} dB"
+
+
+def test_ncsnpp_end_to_end_enhancement_with_reflection_pad():
+    """NCSN++ 5M ported-weight END-TO-END enhancement parity, including
+    the reflection pad_spec to a x64 frame count and the length-trimmed
+    iSTFT (infer_single.py:90-99, util/other.py:76-90). Deterministic
+    ODE-EI path (SB prior at t=T is exactly y)."""
+    from fdbm.backbones.ncsnpp_v2 import NCSNpp_v2_5M
+    from fdbm.bridge import Bridge as RefBridge
+    from fdbm.util.other import pad_spec as ref_pad_spec
+
+    torch.manual_seed(5)
+    ref_dnn = NCSNpp_v2_5M().eval()
+    n_steps = 2
+
+    # L chosen so T = L//hop + 1 = 126 frames -> reflection pad of 2
+    rng = np.random.default_rng(5)
+    L = 32000
+    tgrid = np.arange(L) / 16000
+    clean = (0.2 * np.sin(2 * np.pi * 440 * tgrid)
+             + 0.1 * np.sin(2 * np.pi * 880 * tgrid)).astype(np.float32)
+    noisy = clean + 0.05 * rng.standard_normal(L).astype(np.float32)
+    noisy = noisy / np.max(np.abs(noisy))
+
+    # --- reference pipeline (torch CPU) -------------------------------------
+    n_fft, hop = 512, 256
+    win = torch.sqrt(torch.hann_window(n_fft, periodic=True))
+    sig = torch.from_numpy(noisy)
+    spec = torch.stft(sig, n_fft=n_fft, hop_length=hop, window=win,
+                      center=True, return_complex=True)
+    spec = spec.abs() ** 0.5 * torch.exp(1j * spec.angle()) * 0.15
+    y_t = spec[None, None]
+    assert y_t.shape[-1] % 64 != 0  # the pad path must actually trigger
+    y_t = ref_pad_spec(y_t, mode="reflection")
+
+    bridge = RefBridge("sb", N=n_steps, sampler_type="ode_ei",
+                       noise_schedule="bb")
+    with torch.no_grad():
+        sample = bridge.sampler(ref_dnn, y_t)[0, 0]
+    sample = sample / 0.15
+    sample = sample.abs() ** 2 * torch.exp(1j * sample.angle())
+    ref_audio = torch.istft(sample, n_fft=n_fft, hop_length=hop, window=win,
+                            center=True, length=L).numpy()
+
+    # --- this framework (same weights, pad_mode='reflection') ---------------
+    from fdbm_tpu.model import FDBM, FDBMConfig
+
+    cfg = FDBMConfig(mode="generative", backbone="ncsnpp_v2_5M",
+                     bridge="sb", noise_schedule="bb", sampler_type="ode_ei",
+                     N=n_steps, n_fft=n_fft, hop_length=hop, window="sqrthann")
+    fdbm = FDBM(cfg)
+    params = ncsnpp_from_torch(
+        state_dict_to_numpy(ref_dnn.state_dict()),
+        nf=96, ch_mult=(1, 1, 1, 1), num_res_blocks=1, attn_resolutions=(0,))
+    tpu_audio = np.asarray(
+        fdbm.enhance_batch(params, jnp.asarray(noisy[None]),
+                           jax.random.PRNGKey(0), pad_mode="reflection")[0])
+
+    assert tpu_audio.shape == ref_audio.shape
+    err = ref_audio - tpu_audio
+    si_sdr = 10 * np.log10(np.sum(ref_audio ** 2) / (np.sum(err ** 2) + 1e-12))
+    assert si_sdr > 40.0, f"NCSN++ end-to-end SI-SDR {si_sdr:.1f} dB"
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("preset,nf,ch_mult,attn", [
+    ("ncsnpp_v2_16M", 64, (1, 1, 2, 2, 2, 2, 2), (0,)),
+    ("ncsnpp_v2_37M", 96, (1, 1, 2, 2, 2, 2, 2), (16,)),
+])
+def test_ncsnpp_large_presets_match_reference(preset, nf, ch_mult, attn):
+    """16M/37M forward-output parity with ported weights (previously only
+    parameter counts were compared; ncsnpp_v2.py:420-453)."""
+    from fdbm.backbones.ncsnpp_v2 import NCSNpp_v2_16M, NCSNpp_v2_37M
+
+    torch.manual_seed(6)
+    ref = {"ncsnpp_v2_16M": NCSNpp_v2_16M,
+           "ncsnpp_v2_37M": NCSNpp_v2_37M}[preset]().eval()
+
+    rng = np.random.default_rng(6)
+    f, t = 257, 64  # 7-level pyramid needs 256- and 64-divisible dims
+    x = ((rng.standard_normal((1, 1, f, t))
+          + 1j * rng.standard_normal((1, 1, f, t))) * 0.3).astype(np.complex64)
+    y = ((rng.standard_normal((1, 1, f, t))
+          + 1j * rng.standard_normal((1, 1, f, t))) * 0.3).astype(np.complex64)
+    tvec = np.array([0.4], np.float32)
+    with torch.no_grad():
+        ref_out = ref(torch.from_numpy(x), torch.from_numpy(y),
+                      torch.from_numpy(tvec)).numpy()
+
+    flax_model = BackboneRegistry.get_by_name(preset)()
+    params = ncsnpp_from_torch(
+        state_dict_to_numpy(ref.state_dict()),
+        nf=nf, ch_mult=ch_mult, num_res_blocks=2, attn_resolutions=attn)
+    out = np.asarray(flax_model.apply(params, jnp.asarray(x), jnp.asarray(y),
+                                      jnp.asarray(tvec)))
+    assert out.shape == ref_out.shape
+    err = _rel_err(out, ref_out)
+    assert err < 1e-4, f"{preset} relative error {err}"
