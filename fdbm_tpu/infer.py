@@ -65,7 +65,13 @@ class BucketedEnhancer:
         batch_size: int = 8,
         bucket_frames_multiple: int = 64,
         sampler_kwargs: Optional[dict] = None,
+        mesh=None,
     ):
+        """``mesh``: optional ``jax.sharding.Mesh`` with a 'data' axis —
+        each bucket batch is then sharded across the mesh's chips
+        (parallel/mesh.py:make_parallel_enhance), so a single-controller
+        multi-chip host splits every batch over ICI instead of running it
+        on one chip.  batch_size must divide the mesh size."""
         self.fdbm = fdbm
         self.params = params
         self.sampler_type = sampler_type
@@ -73,6 +79,11 @@ class BucketedEnhancer:
         self.batch_size = batch_size
         self.bucket_multiple = max(1, bucket_frames_multiple)
         self.sampler_kwargs = sampler_kwargs or {}
+        self.mesh = mesh
+        if mesh is not None and batch_size % mesh.devices.size != 0:
+            raise ValueError(
+                f"batch_size {batch_size} must divide by mesh size "
+                f"{mesh.devices.size} for batch-sharded serving")
         self._jitted: Dict[int, object] = {}
 
     # -- internals -----------------------------------------------------------
@@ -93,13 +104,20 @@ class BucketedEnhancer:
                         if self.fdbm.cfg.backbone.startswith("ncsnpp")
                         else "zero_pad")
 
-            def enhance(params, y_audio, key):
-                return self.fdbm.enhance_batch(
-                    params, y_audio, key, sampler_type=self.sampler_type,
-                    N=self.N, pad_mode=pad_mode, **self.sampler_kwargs,
-                )
+            if self.mesh is not None:
+                from fdbm_tpu.parallel.mesh import make_parallel_enhance
 
-            fn = jax.jit(enhance)
+                fn = make_parallel_enhance(
+                    self.fdbm, self.mesh, sampler_type=self.sampler_type,
+                    N=self.N, pad_mode=pad_mode, **self.sampler_kwargs)
+            else:
+                def enhance(params, y_audio, key):
+                    return self.fdbm.enhance_batch(
+                        params, y_audio, key, sampler_type=self.sampler_type,
+                        N=self.N, pad_mode=pad_mode, **self.sampler_kwargs,
+                    )
+
+                fn = jax.jit(enhance)
             self._jitted[length] = fn
         return fn
 
@@ -182,40 +200,64 @@ class BucketedEnhancer:
         for i, a in enumerate(audios):
             buckets.setdefault(self._bucket_length(len(a)), []).append(i)
 
-        out: List[Optional[np.ndarray]] = [None] * len(audios)
+        # One job per (bucket, batch chunk); always run at the full batch
+        # shape (zero rows, outputs discarded): one compiled program per
+        # bucket instead of one per (bucket, remainder) pair — compiles
+        # cost minutes on this toolchain, wasted rows cost milliseconds.
+        schedule: List[Tuple[int, List[int]]] = []
         for blen, idxs in sorted(buckets.items()):
-            fn = self._get_fn(blen)
             for s in range(0, len(idxs), self.batch_size):
-                chunk = idxs[s : s + self.batch_size]
-                # always run at the full batch shape (zero rows, outputs
-                # discarded): one compiled program per bucket instead of
-                # one per (bucket, remainder) pair — compiles cost minutes
-                # on this toolchain, wasted rows cost milliseconds.
-                pad_to = self.batch_size
-                batch = np.zeros((pad_to, blen), np.float32)
-                norms = np.ones(pad_to, np.float32)
-                for j, i in enumerate(chunk):
-                    a, norm = self._normalise(audios[i], cfg.normalize)
-                    norms[j] = norm
-                    L = len(a)
-                    if L >= blen:
-                        batch[j] = a[:blen]
-                    else:
-                        # reflect-pad keeps tail statistics natural
-                        reps = np.concatenate([a, a[::-1]])
-                        tiled = np.tile(reps, -(-blen // len(reps)))[:blen]
-                        batch[j] = tiled
-                key, sub = jax.random.split(key)
-                enhanced = np.asarray(fn(self.params, jnp.asarray(batch), sub))
-                for j, i in enumerate(chunk):
-                    L = len(audios[i])
-                    x = enhanced[j, :L] * norms[j]
-                    peak = np.max(np.abs(x))
-                    if peak > 1.0:
-                        # renormalise to clip_scale peak (reference
-                        # infer_single.py:98-99 uses 0.5, infer_folder 0.95)
-                        x = x / peak * clip_scale
-                    out[i] = x.astype(np.float32)
+                schedule.append((blen, idxs[s : s + self.batch_size]))
+
+        out: List[Optional[np.ndarray]] = [None] * len(audios)
+
+        def dispatch(blen: int, chunk: List[int], sub: jax.Array):
+            """Host-side batch build + ASYNC device dispatch."""
+            batch = np.zeros((self.batch_size, blen), np.float32)
+            norms = np.ones(self.batch_size, np.float32)
+            for j, i in enumerate(chunk):
+                a, norm = self._normalise(audios[i], cfg.normalize)
+                norms[j] = norm
+                L = len(a)
+                if L >= blen:
+                    batch[j] = a[:blen]
+                else:
+                    # reflect-pad keeps tail statistics natural
+                    reps = np.concatenate([a, a[::-1]])
+                    tiled = np.tile(reps, -(-blen // len(reps)))[:blen]
+                    batch[j] = tiled
+            fn = self._get_fn(blen)
+            return fn(self.params, jnp.asarray(batch), sub), norms, chunk
+
+        def retire(pending) -> None:
+            """Block on a dispatched batch and post-process on host."""
+            fut, norms, chunk = pending
+            enhanced = np.asarray(fut)  # device sync happens here
+            for j, i in enumerate(chunk):
+                L = len(audios[i])
+                x = enhanced[j, :L] * norms[j]
+                peak = np.max(np.abs(x))
+                if peak > 1.0:
+                    # renormalise to clip_scale peak (reference
+                    # infer_single.py:98-99 uses 0.5, infer_folder 0.95)
+                    x = x / peak * clip_scale
+                out[i] = x.astype(np.float32)
+
+        # Software pipeline over jax's async dispatch: batch k+1 is built
+        # on host and queued on the device BEFORE blocking on batch k's
+        # result, so host prep/post-processing overlaps device compute
+        # (the reference builds each batch synchronously between
+        # dispatches — that serial host work was ~1/3 of the end-to-end
+        # folder-sweep gap vs the steady-state bench, BENCH_NOTES r2).
+        pending = None
+        for blen, chunk in schedule:
+            key, sub = jax.random.split(key)
+            nxt = dispatch(blen, chunk, sub)
+            if pending is not None:
+                retire(pending)
+            pending = nxt
+        if pending is not None:
+            retire(pending)
         return out  # type: ignore[return-value]
 
     def _enhance_long(self, audio: np.ndarray, key: jax.Array,
@@ -262,8 +304,14 @@ def enhance_folder(
     bucket_frames_multiple: int = 64,
     sampler_kwargs: Optional[dict] = None,
     progress: bool = True,
+    mesh=None,
 ) -> EnhanceStats:
-    """Enhance every wav under test_dir into enhanced_dir."""
+    """Enhance every wav under test_dir into enhanced_dir.
+
+    ``mesh``: optional data mesh for single-controller multi-chip serving —
+    every bucket batch is sharded over the mesh's chips (batch_size must
+    divide the mesh size); per-process file sharding composes on top for
+    multi-host pods."""
     files = sorted(
         glob(os.path.join(test_dir, "**", "*.wav"), recursive=True)
         + glob(os.path.join(test_dir, "**", "*.flac"), recursive=True)
@@ -274,7 +322,8 @@ def enhance_folder(
 
     enhancer = BucketedEnhancer(
         fdbm, params, sampler_type=sampler_type, N=N, batch_size=batch_size,
-        bucket_frames_multiple=bucket_frames_multiple, sampler_kwargs=sampler_kwargs,
+        bucket_frames_multiple=bucket_frames_multiple,
+        sampler_kwargs=sampler_kwargs, mesh=mesh,
     )
     key = jax.random.PRNGKey(seed + pi)
     stats = EnhanceStats()
@@ -304,35 +353,55 @@ def enhance_folder(
             print(f"prewarmed {len(enhancer._jitted)} bucket shapes "
                   f"in {secs:.0f}s", flush=True)
 
-    # Sort by length for dense bucketing, enhance in chunks.
+    # Sort by length for dense bucketing, enhance in chunks.  Output wav
+    # writes run on a worker thread so host file I/O overlaps the next
+    # chunk's device compute (serial wav writes were part of the gap
+    # between the folder sweep and the steady-state bench, BENCH_NOTES r2).
+    from concurrent.futures import ThreadPoolExecutor
+
     order = sorted(range(len(todo)), key=lambda i: len(todo[i][1]))
     chunk_size = batch_size * 16
     done = 0
-    for s in range(0, len(order), chunk_size):
-        idxs = order[s : s + chunk_size]
-        audios = [todo[i][1] for i in idxs]
-        key, sub = jax.random.split(key)
-        try:
-            enhanced = enhancer.enhance_many(audios, sub)
-        except Exception as e:
-            print(f"[skip chunk] {e}")
-            stats.failures += len(idxs)
-            continue
-        for i, x_hat in zip(idxs, enhanced):
-            path = todo[i][0]
-            rel = os.path.relpath(path, test_dir) if keep_structure else os.path.basename(path)
-            out_path = os.path.join(enhanced_dir, os.path.splitext(rel)[0] + ".wav")
-            os.makedirs(os.path.dirname(out_path), exist_ok=True)
-            if np.isnan(x_hat).any():
-                print(f"[skip] {path}: NaN output")
-                stats.failures += 1
+
+    def _write_one(out_path: str, x_hat: np.ndarray) -> float:
+        os.makedirs(os.path.dirname(out_path), exist_ok=True)
+        write_wav(out_path, x_hat, target_sr)
+        return len(x_hat) / target_sr
+
+    write_futs = []
+    with ThreadPoolExecutor(max_workers=2) as writer:
+        for s in range(0, len(order), chunk_size):
+            idxs = order[s : s + chunk_size]
+            audios = [todo[i][1] for i in idxs]
+            key, sub = jax.random.split(key)
+            try:
+                enhanced = enhancer.enhance_many(audios, sub)
+            except Exception as e:
+                print(f"[skip chunk] {e}")
+                stats.failures += len(idxs)
                 continue
-            write_wav(out_path, x_hat, target_sr)
-            stats.files += 1
-            stats.audio_seconds += len(x_hat) / target_sr
-        done += len(idxs)
-        if progress:
-            print(f"enhanced {done}/{len(order)} files", flush=True)
+            for i, x_hat in zip(idxs, enhanced):
+                path = todo[i][0]
+                rel = (os.path.relpath(path, test_dir) if keep_structure
+                       else os.path.basename(path))
+                out_path = os.path.join(enhanced_dir,
+                                        os.path.splitext(rel)[0] + ".wav")
+                if np.isnan(x_hat).any():
+                    print(f"[skip] {path}: NaN output")
+                    stats.failures += 1
+                    continue
+                write_futs.append(
+                    (path, writer.submit(_write_one, out_path, x_hat)))
+            done += len(idxs)
+            if progress:
+                print(f"enhanced {done}/{len(order)} files", flush=True)
+        for path, fut in write_futs:
+            try:
+                stats.audio_seconds += fut.result()
+                stats.files += 1
+            except Exception as e:
+                print(f"[skip] {path}: write failed: {e}")
+                stats.failures += 1
 
     stats.wall_seconds = time.perf_counter() - t_start
     return stats

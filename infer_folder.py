@@ -32,11 +32,21 @@ def main():
     ap.add_argument("-C", "--config", required=True)
     ap.add_argument("--slot", default="last")
     ap.add_argument("--batch_size", type=int, default=8)
+    ap.add_argument("--mesh_devices", type=int, default=0,
+                    help="shard each batch over this many local chips "
+                         "(single-controller multi-chip serving; 0 = one "
+                         "chip per batch, files still shard per process)")
     ap.add_argument("overrides", nargs="*")
     args = ap.parse_args()
 
     cfg = load_config(args.config, parse_cli_overrides(args.overrides))
     fdbm, state = load_model_from_ckpt(cfg["ckpt"], slot=args.slot, overrides=cfg)
+
+    mesh = None
+    if args.mesh_devices:
+        from fdbm_tpu.parallel import make_mesh
+
+        mesh = make_mesh(args.mesh_devices)
 
     stats = enhance_folder(
         fdbm, state.ema_params,
@@ -47,6 +57,7 @@ def main():
         batch_size=args.batch_size,
         keep_structure=bool(cfg.get("keep_structure", True)),
         sampler_kwargs=cfg.get("sampler_kwargs") or {},
+        mesh=mesh,
     )
     print(json.dumps({
         "files": stats.files,
