@@ -41,6 +41,7 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
 import json
+import os
 import time
 
 import numpy as np
@@ -117,12 +118,23 @@ def main():
     throughput = audio_seconds / dt  # audio-sec enhanced per wall-sec per chip
 
     baseline = 1.0  # estimated reference RTF~1.0 (see module docstring)
-    print(json.dumps({
+    record = {
         "metric": "audio_sec_enhanced_per_sec_per_chip_30step",
         "value": round(throughput, 3),
         "unit": "audio_s/s/chip",
         "vs_baseline": round(throughput / baseline, 3),
-    }))
+    }
+    # Training-throughput regression tracking (bench_train.py): embedded
+    # in the same single JSON line so the recorded benchmark carries both
+    # serving and training numbers. Skippable for quick serving-only runs.
+    if os.environ.get("FDBM_TPU_BENCH_NO_TRAIN", "0") != "1":
+        try:
+            from bench_train import train_numbers
+
+            record["train"] = train_numbers()
+        except Exception as e:  # training bench must not sink the headline
+            record["train"] = {"error": str(e)[:200]}
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":
