@@ -43,7 +43,12 @@ def main():
     ap.add_argument("-C", "--config", required=True)
     ap.add_argument("-D", "--devices", type=int, default=None,
                     help="number of devices for the data mesh (default: all)")
-    ap.add_argument("--ckpt", default=None, help="resume from this checkpoint dir")
+    ap.add_argument("--ckpt", default=None,
+                    help="warm-start from an external run/checkpoint dir "
+                         "(reference --ckpt -> trainer.fit(ckpt_path))")
+    ap.add_argument("--resume", default=None, metavar="LOG_DIR",
+                    help="reuse this existing run dir and continue from its "
+                         "'last' checkpoint (step counter continues)")
     ap.add_argument("--profile_steps", type=int, nargs=2, default=None,
                     metavar=("START", "END"),
                     help="jax.profiler trace window (train steps)")
@@ -56,9 +61,17 @@ def main():
 
     cfg = load_config(args.config, parse_cli_overrides(args.overrides))
 
-    version = cfg.get("version", "run")
-    stamp = datetime.datetime.now().strftime("%Y%m%d_%H%M%S")
-    log_dir = os.path.join(cfg.get("log_dir", "./logs"), f"{version}_{stamp}")
+    if args.resume:
+        # Reuse the run dir as-is: logger appends, checkpoints continue.
+        log_dir = args.resume
+        if not os.path.isdir(os.path.join(log_dir, "checkpoints")):
+            raise SystemExit(
+                f"--resume {log_dir}: no checkpoints/ dir found "
+                f"(expected an existing run directory)")
+    else:
+        version = cfg.get("version", "run")
+        stamp = datetime.datetime.now().strftime("%Y%m%d_%H%M%S")
+        log_dir = os.path.join(cfg.get("log_dir", "./logs"), f"{version}_{stamp}")
 
     fdbm, data_cfg = build_from_config(cfg)
     trainer = Trainer(
@@ -74,7 +87,10 @@ def main():
         profile_steps=tuple(args.profile_steps) if args.profile_steps else None,
     )
     ckpt = args.ckpt or cfg.get("ckpt")
-    trainer.fit(resume=False, resume_from=ckpt)
+    # accept either a run dir or its checkpoints/ subdir
+    if ckpt and os.path.isdir(os.path.join(ckpt, "checkpoints")):
+        ckpt = os.path.join(ckpt, "checkpoints")
+    trainer.fit(resume=bool(args.resume), resume_from=ckpt)
 
 
 if __name__ == "__main__":
