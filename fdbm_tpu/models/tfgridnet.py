@@ -56,6 +56,19 @@ class _DenseKernel(nn.Module):
             (in_features, self.features))
 
 
+def _pallas_fast_path_ok(c: int, hidden: int) -> bool:
+    """Gate for the canvas-direct Pallas kernel dispatch.
+
+    The kernel's VMEM sizing (default tile 88, ops/gridrnn.py:_pick_tile)
+    is validated for C <= 64 and H <= 128: at those sizes the two
+    directions' chunk projections + scratch fit the 16 MB scoped-VMEM
+    stack. A larger emb_dim/hidden variant falls back to the XLA path
+    instead of risking a VMEM failure at compile time on real hardware.
+    Both _RnnPath and GridNetBlock must use this same predicate so the
+    canvas orientation and the kernel dispatch stay in agreement."""
+    return c % 8 == 0 and c <= 64 and hidden <= 128
+
+
 class _RnnPath(nn.Module):
     """One intra- or inter- RNN path: LN -> unfold -> BiLSTM -> fold -> +res.
 
@@ -79,7 +92,7 @@ class _RnnPath(nn.Module):
         gamma = self.param("ln_gamma", nn.initializers.ones, (c,))
         beta = self.param("ln_beta", nn.initializers.zeros, (c,))
 
-        if self.use_pallas and c % 8 == 0:
+        if self.use_pallas and _pallas_fast_path_ok(c, self.hidden):
             # Inference fast path: ONE canvas-direct Pallas kernel runs
             # unfold -> BiLSTM -> deconv -> overlap-add, reading the 4D
             # canvas directly through BlockSpec index maps (sequence on
@@ -197,7 +210,7 @@ class GridNetBlock(nn.Module):
         d = c // self.n_head
 
         xp = jnp.pad(x, ((0, 0), (olp, olp), (olp, olp), (0, 0)))
-        if self.use_pallas and c % 8 == 0:
+        if self.use_pallas and _pallas_fast_path_ok(c, self.hidden):
             # Canvas-direct kernels want the sequence on axis 1: run intra
             # on the (1,2)-swapped canvas and inter on the swap-back — two
             # canvas transposes per block instead of per-path reshape +

@@ -370,9 +370,22 @@ def _pick_tile(p: int, max_tile: int) -> int:
     return min(best, _round_up(p, 8))
 
 
-@functools.partial(jax.jit, static_argnames=("mxu_bf16",))
 def grid_rnn_seq1(x: Array, w_ih: Array, w_hh: Array, bias: Array,
                   w_deconv: Array, mxu_bf16: bool = False) -> Array:
+    """Fused canvas grid-RNN; see :func:`_grid_rnn_seq1`.
+
+    Reads the FDBM_TPU_GRIDRNN_TILE env knob OUTSIDE the jitted function
+    and passes it as a static argument, so changing it after a shape has
+    been traced correctly retraces instead of being silently ignored."""
+    tile_cap = int(os.environ.get("FDBM_TPU_GRIDRNN_TILE", "88"))
+    return _grid_rnn_seq1(x, w_ih, w_hh, bias, w_deconv,
+                          mxu_bf16=mxu_bf16, tile_cap=tile_cap)
+
+
+@functools.partial(jax.jit, static_argnames=("mxu_bf16", "tile_cap"))
+def _grid_rnn_seq1(x: Array, w_ih: Array, w_hh: Array, bias: Array,
+                   w_deconv: Array, mxu_bf16: bool = False,
+                   tile_cap: int = 88) -> Array:
     """Fused unfold(k=4) -> BiLSTM -> deconv(k=4) -> overlap-add on a 4D
     canvas with the sequence on AXIS 1.
 
@@ -399,11 +412,12 @@ def grid_rnn_seq1(x: Array, w_ih: Array, w_hh: Array, bias: Array,
     w_ih_p, w_hh_p, bias_p, wd = _prep_weights(
         w_ih, w_hh, bias, w_deconv, hidden, hp)
 
-    # The env knob caps the waste-minimising tile choice (read at trace
-    # time; applies only to this canvas kernel — grid_bilstm_fold keeps a
-    # fixed 64). 88 fits VMEM at C=32/H<=128 and leaves <1% pad waste on
-    # the 262/263-row production canvases.
-    tile = _pick_tile(p_true, int(os.environ.get("FDBM_TPU_GRIDRNN_TILE", "88")))
+    # tile_cap (static; from the FDBM_TPU_GRIDRNN_TILE env knob via the
+    # public wrapper) caps the waste-minimising tile choice — applies only
+    # to this canvas kernel; grid_bilstm_fold keeps a fixed 64. 88 fits
+    # VMEM at C=32/H<=128 and leaves <1% pad waste on the 262/263-row
+    # production canvases.
+    tile = _pick_tile(p_true, tile_cap)
     n_tiles = -(-p_true // tile)
     n_real = -(-L // _CHUNK)
     nb = -(-s_true // _CHUNK)  # seq blocks present in the canvas

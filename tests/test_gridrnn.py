@@ -143,3 +143,35 @@ def test_gridnetblock_fused_matches_scan_exactly():
     out_fused = blk_fused.apply(params, x)
     np.testing.assert_allclose(np.asarray(out_fused), np.asarray(out_scan),
                                rtol=5e-4, atol=5e-4)
+
+
+@pytest.mark.parametrize("mxu_bf16", [False, True])
+def test_canvas_kernel_bf16_streams(mxu_bf16):
+    """bf16 io streams (the production serving configuration,
+    inference_dtype=bfloat16 in bench.py) and the mxu_bf16 operand flag:
+    the kernel must stay close to the fp64 oracle at bf16 tolerance —
+    catches dtype-handling regressions on CPU (interpret mode)."""
+    from fdbm_tpu.ops.gridrnn import grid_rnn_seq1
+
+    b, s_len, p, c, hidden = 2, 35, 12, 16, 24
+    rng = np.random.default_rng(4)
+    x = rng.standard_normal((b, s_len, p, c)).astype(np.float32) * 0.5
+    w_ih = rng.standard_normal((2, KS * c, 4 * hidden)).astype(np.float32) * 0.2
+    w_hh = rng.standard_normal((2, hidden, 4 * hidden)).astype(np.float32) * 0.2
+    bias = rng.standard_normal((2, 4 * hidden)).astype(np.float32) * 0.2
+    wd = rng.standard_normal((2 * hidden, KS * c)).astype(np.float32) * 0.2
+
+    out = grid_rnn_seq1(
+        jnp.asarray(x, jnp.bfloat16), jnp.asarray(w_ih), jnp.asarray(w_hh),
+        jnp.asarray(bias), jnp.asarray(wd), mxu_bf16=mxu_bf16)
+    assert out.dtype == jnp.bfloat16  # io streams stay bf16
+    got = np.asarray(out, dtype=np.float32)
+    xr = np.moveaxis(x, 1, 0).reshape(s_len, b * p, c)
+    want = _oracle(xr, w_ih, w_hh, bias, wd).reshape(s_len, b, p, c)
+    want = np.moveaxis(want, 0, 1)
+
+    L = s_len - (KS - 1)
+    err = (np.linalg.norm(got[:, 3:L] - want[:, 3:L])
+           / np.linalg.norm(want[:, 3:L]))
+    assert err < 2e-2, f"bf16 canvas kernel relative error {err}"
+    assert np.isfinite(got).all()

@@ -6,14 +6,12 @@ the bench.py shapes, bf16, Pallas inference path. Usage:
     python tools/microbench_block.py [fp32|bf16]
 """
 
+import os
 import sys
-import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
-
-import os
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from tools.timing import chain_time  # noqa: E402
