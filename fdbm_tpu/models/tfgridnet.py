@@ -236,22 +236,23 @@ class GridNetBlock(nn.Module):
         v_feat = nn.Dense(c, dtype=self.dtype, name="attn_conv_V")(inter)
         v_feat = _AllHeadPReLULayerNorm(h_heads, d, name="attn_norm_V")(v_feat)
 
-        # [B,T,Q,H,E] -> [B,H,T,E*Q] with E slow / Q fast (reference flatten
-        # order, tfgridnet.py:402-411)
-        def to_heads(feat, edim):
-            f5 = feat.reshape(b, old_t, old_q, h_heads, edim)
-            return f5.transpose(0, 3, 1, 4, 2).reshape(b, h_heads, old_t, edim * old_q)
-
-        qm = to_heads(q_feat, e)
-        km = to_heads(k_feat, e)
-        vm = to_heads(v_feat, d)
+        # The reference flattens heads to [B,H,T,E*Q] before the T x T
+        # score matmul (tfgridnet.py:402-411). Those flattens are 4 full
+        # 5-D transpose copies per block on TPU (~1.3 GB/forward,
+        # profiled round-3); contracting (q, e) directly in one
+        # dot_general computes the same sums (score = sum_{q,e} Q.K) with
+        # the layout work folded into the matmul's own operand staging.
+        q5 = q_feat.reshape(b, old_t, old_q, h_heads, e)
+        k5 = k_feat.reshape(b, old_t, old_q, h_heads, e)
+        v5 = v_feat.reshape(b, old_t, old_q, h_heads, d)
 
         scale = 1.0 / np.sqrt(e * old_q)
-        attn = jnp.einsum("bhte,bhue->bhtu", qm, km) * scale
-        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(vm.dtype)
-        out = jnp.einsum("bhtu,bhue->bhte", attn, vm)
-        # [B,H,T,D*Q] -> [B,T,Q,H*D] (h slow, d fast: reference channel order)
-        out = out.reshape(b, h_heads, old_t, d, old_q).transpose(0, 2, 4, 1, 3)
+        attn = jnp.einsum("btqhe,buqhe->bhtu", q5, k5) * scale
+        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(v5.dtype)
+        # out[b,t,q,h,d] = sum_u attn[b,h,t,u] v5[b,u,q,h,d]; the final
+        # [B,T,Q,H,D] -> [B,T,Q,C] merge (h slow, d fast: reference
+        # channel order) is a free contiguous reshape.
+        out = jnp.einsum("bhtu,buqhd->btqhd", attn, v5)
         out = out.reshape(b, old_t, old_q, c)
 
         out = nn.Dense(c, dtype=self.dtype, name="attn_proj")(out)

@@ -73,15 +73,16 @@ def _fold19(z: Array, c: int, tb: int) -> Array:
     return acc
 
 
-def _advance_and_fold(winf, winb, w_ih, w_hh, bias, wd, outf, outb,
-                      h_scr, c_scr, carry_f, buf_b, hbuf_f, hbuf_b, store,
+def _advance_and_fold(winf, winb, w_comb, bias, wd, store_f, store_b,
+                      h_scr, c_scr, carry_f, buf_b, hbuf_f, hbuf_b,
                       *, hidden: int, cdim: int, L: int, n_real: int,
                       j, m, mm_dt, io_dt):
     """Shared per-grid-step core: gates projection -> stacked-bidirectional
     LSTM chunk -> deconv projection -> software-pipelined overlap-add.
 
-    winf/winb: [cs, tb, 4C] k=4 windows (s-major). `store(ref, val)` writes
-    a [cs, tb, C] value into the kernel's output ref (layout differs per
+    winf/winb: [cs, tb, 4C] k=4 windows (s-major). ``store_f(val)`` /
+    ``store_b(val)`` write a [cs, tb, C] value into the caller's output
+    ref(s) (separate-array vs accumulate-in-place layouts differ per
     caller). Step j < n_real: advance both directions over z block j
     (forward) / block m = n_real-1-j (backward); write folded-forward
     block j and folded-backward block m+1. Step j == n_real: flush the
@@ -90,45 +91,58 @@ def _advance_and_fold(winf, winb, w_ih, w_hh, bias, wd, outf, outb,
     cs = _CHUNK
     tb = winf.shape[1]
 
-    xgf = jnp.dot(winf.reshape(cs * tb, _KS * cdim), w_ih[0].astype(mm_dt),
-                  preferred_element_type=jnp.float32) + bias[0, 0]
-    xgb = jnp.dot(winb.reshape(cs * tb, _KS * cdim), w_ih[1].astype(mm_dt),
-                  preferred_element_type=jnp.float32) + bias[0, 1]
-    xgf = xgf.reshape(cs, tb, 4 * hidden)
-    xgb = xgb.reshape(cs, tb, 4 * hidden)
+    # The chunk input projection is FUSED into the recurrent matmul:
+    # per step, one [tb, 4C+H'] x [4C+H', 4H'] dot on the concatenated
+    # [x_window | h] row block against the stacked [W_ih; W_hh] weights
+    # (identical sums — MXU accumulates along K). This removes the two
+    # [cs, tb, 4H'] fp32 pre-activation buffers that were the largest
+    # VMEM stack temporaries (they priced the seq-resident output block
+    # out of the 16 MB scoped budget at tile 88), and deepens the MXU
+    # contraction from 128 to 256 rows per recurrence step.
+    wcf = w_comb[0].astype(mm_dt)
+    wcb = w_comb[1].astype(mm_dt)
+    bias_f, bias_b = bias[0, 0], bias[0, 1]
 
-    whf = w_hh[0].astype(mm_dt)
-    whb = w_hh[1].astype(mm_dt)
+    def lstm_cell(g, c_prev):
+        i = jax.nn.sigmoid(g[:, 0 * hidden : 1 * hidden])
+        f = jax.nn.sigmoid(g[:, 1 * hidden : 2 * hidden])
+        gg = jnp.tanh(g[:, 2 * hidden : 3 * hidden])
+        o = jax.nn.sigmoid(g[:, 3 * hidden : 4 * hidden])
+        c = f * c_prev + i * gg
+        return o * jnp.tanh(c), c
 
     for s in range(cs):
         sb = cs - 1 - s
         h = h_scr[:].astype(mm_dt)
-        gf = xgf[s] + jnp.dot(h[:tb], whf, preferred_element_type=jnp.float32)
-        gb = xgb[sb] + jnp.dot(h[tb:], whb, preferred_element_type=jnp.float32)
-        gates = jnp.concatenate([gf, gb], axis=0)  # [2*tb, 4H]
-        i = jax.nn.sigmoid(gates[:, 0 * hidden : 1 * hidden])
-        f = jax.nn.sigmoid(gates[:, 1 * hidden : 2 * hidden])
-        g = jnp.tanh(gates[:, 2 * hidden : 3 * hidden])
-        o = jax.nn.sigmoid(gates[:, 3 * hidden : 4 * hidden])
-        c = f * c_scr[:] + i * g
-        hn = o * jnp.tanh(c)
+        gf = jnp.dot(jnp.concatenate([winf[s], h[:tb]], axis=1), wcf,
+                     preferred_element_type=jnp.float32) + bias_f
+        gb = jnp.dot(jnp.concatenate([winb[sb], h[tb:]], axis=1), wcb,
+                     preferred_element_type=jnp.float32) + bias_b
+        hn_f, c_f = lstm_cell(gf, c_scr[:tb])
+        hn_b, c_b = lstm_cell(gb, c_scr[tb:])
         # Backward carry stays zero while its position is in the padded
         # tail (p >= L), so it enters the last REAL row (p == L-1) fresh —
         # this replaces round-2's separately front-padded input copy.
+        # live_b is a per-step scalar, so only the backward half pays the
+        # masking multiply (the old stacked [2tb] mask built two concats
+        # and masked both directions every step).
         p_b = m * cs + sb
         live_b = (p_b < L).astype(jnp.float32)
-        mask = jnp.concatenate(
-            [jnp.ones((tb, 1), jnp.float32),
-             jnp.full((tb, 1), live_b, jnp.float32)], axis=0)
-        c_scr[:] = c * mask
-        h_scr[:] = hn * mask
-        hbuf_f[s] = hn[:tb]
-        hbuf_b[sb] = hn[tb:] * live_b
+        hn_b = hn_b * live_b
+        c_scr[:tb] = c_f
+        c_scr[tb:] = c_b * live_b
+        h_scr[:tb] = hn_f
+        h_scr[tb:] = hn_b
+        hbuf_f[s] = hn_f.astype(hbuf_f.dtype)
+        hbuf_b[sb] = hn_b.astype(hbuf_b.dtype)
 
     # ---- in-kernel deconv projection + fold pipeline --------------------
-    zf = jnp.dot(hbuf_f[:].reshape(cs * tb, hidden), wd[0],
+    wdd = wd[...]
+    if hbuf_f.dtype == jnp.bfloat16:
+        wdd = wdd.astype(mm_dt)
+    zf = jnp.dot(hbuf_f[:].reshape(cs * tb, hidden), wdd[0],
                  preferred_element_type=jnp.float32).reshape(cs, tb, _KS * cdim)
-    zb = jnp.dot(hbuf_b[:].reshape(cs * tb, hidden), wd[1],
+    zb = jnp.dot(hbuf_b[:].reshape(cs * tb, hidden), wdd[1],
                  preferred_element_type=jnp.float32).reshape(cs, tb, _KS * cdim)
     live = (j < n_real).astype(jnp.float32)
     cf = _fold19(zf, cdim, tb) * live  # [cs+3, tb, C]
@@ -136,12 +150,12 @@ def _advance_and_fold(winf, winb, w_ih, w_hh, bias, wd, outf, outb,
 
     pad13 = jnp.zeros((cs - (_KS - 1), tb, cdim), jnp.float32)
     # forward: block j = cf[0:16] + spill-from-below at rows 0..2
-    store(outf, (cf[:cs] + jnp.concatenate([carry_f[:], pad13], axis=0)
-                 ).astype(io_dt))
+    store_f((cf[:cs] + jnp.concatenate([carry_f[:], pad13], axis=0)
+             ).astype(io_dt))
     carry_f[:] = cf[cs:]
     # backward: block m+1 = held c_{m+1}[0:16] + current spill c_m[16:19]
-    store(outb, (buf_b[:] + jnp.concatenate([cb[cs:], pad13], axis=0)
-                 ).astype(io_dt))
+    store_b((buf_b[:] + jnp.concatenate([cb[cs:], pad13], axis=0)
+             ).astype(io_dt))
     buf_b[:] = cb[:cs]
 
 
@@ -155,7 +169,9 @@ def _reset_carries(j, h_scr, c_scr, carry_f, buf_b):
 
 
 def _prep_weights(w_ih, w_hh, bias, w_deconv, hidden, hp):
-    """Zero-pad gate columns H -> H' (and w_hh/w_deconv rows) per direction."""
+    """Zero-pad gate columns H -> H' (and w_hh/w_deconv rows) per direction,
+    and stack [W_ih; W_hh] into the combined [2, 4C+H', 4H'] recurrence
+    weight the fused per-step dot consumes."""
     w_ih_p = jnp.stack([_pad_gate_cols(w_ih[z], hidden, hp) for z in range(2)])
     w_hh_p = jnp.stack([_pad_gate_cols(w_hh[z], hidden, hp) for z in range(2)])
     bias_p = jnp.stack([_pad_gate_cols(bias[z][None, :], hidden, hp)[0]
@@ -166,10 +182,11 @@ def _prep_weights(w_ih, w_hh, bias, w_deconv, hidden, hp):
         jnp.pad(w_deconv[:hidden], ((0, hp - hidden), (0, 0))),
         jnp.pad(w_deconv[hidden:], ((0, hp - hidden), (0, 0))),
     ])  # [2, H', 4C]
-    return w_ih_p, w_hh_p, bias_p, wd
+    w_comb = jnp.concatenate([w_ih_p, w_hh_p], axis=1)  # [2, 4C+H', 4H']
+    return w_comb, bias_p, wd
 
 
-def _grid_kernel(xf_cur, xf_nxt, xb_cur, xb_nxt, w_ih, w_hh, bias, wd,
+def _grid_kernel(xf_cur, xf_nxt, xb_cur, xb_nxt, w_comb, bias, wd,
                  outf, outb, h_scr, c_scr, carry_f, buf_b, hbuf_f, hbuf_b,
                  *, hidden: int, cdim: int, L: int, n_real: int,
                  mxu_bf16: bool):
@@ -185,14 +202,13 @@ def _grid_kernel(xf_cur, xf_nxt, xb_cur, xb_nxt, w_ih, w_hh, bias, wd,
         return jnp.concatenate(
             [cat[t : t + _CHUNK] for t in range(_KS)], axis=-1)
 
-    def store(ref, val):
-        ref[:] = val
-
     _advance_and_fold(
         windows(xf_cur[:], xf_nxt[:]).astype(mm_dt),
         windows(xb_cur[:], xb_nxt[:]).astype(mm_dt),
-        w_ih, w_hh, bias, wd, outf, outb,
-        h_scr, c_scr, carry_f, buf_b, hbuf_f, hbuf_b, store,
+        w_comb, bias, wd,
+        lambda val: outf.__setitem__(slice(None), val),
+        lambda val: outb.__setitem__(slice(None), val),
+        h_scr, c_scr, carry_f, buf_b, hbuf_f, hbuf_b,
         hidden=hidden, cdim=cdim, L=L, n_real=n_real,
         j=j, m=n_real - 1 - j, mm_dt=mm_dt, io_dt=io_dt)
 
@@ -225,7 +241,7 @@ def grid_bilstm_fold(x: Array, w_ih: Array, w_hh: Array, bias: Array,
 
     hp = _round_up(hidden, LANE)
     kc = _KS * cdim
-    w_ih_p, w_hh_p, bias_p, wd = _prep_weights(
+    w_comb, bias_p, wd = _prep_weights(
         w_ih, w_hh, bias, w_deconv, hidden, hp)
 
     # Batch tile: bigger tiles mean fewer sequential (tile, chunk) steps but
@@ -264,9 +280,7 @@ def grid_bilstm_fold(x: Array, w_ih: Array, w_hh: Array, bias: Array,
             pl.BlockSpec((_CHUNK, tile_b, cdim), nxt_f, memory_space=pltpu.VMEM),
             pl.BlockSpec((_CHUNK, tile_b, cdim), cur_b, memory_space=pltpu.VMEM),
             pl.BlockSpec((_CHUNK, tile_b, cdim), nxt_b, memory_space=pltpu.VMEM),
-            pl.BlockSpec((2, kc, 4 * hp), lambda i, j: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((2, hp, 4 * hp), lambda i, j: (0, 0, 0),
+            pl.BlockSpec((2, kc + hp, 4 * hp), lambda i, j: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 2, 4 * hp), lambda i, j: (0, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -297,7 +311,7 @@ def grid_bilstm_fold(x: Array, w_ih: Array, w_hh: Array, bias: Array,
         ),
         interpret=_use_interpret(),
     )(x.astype(io_dt), x.astype(io_dt), x.astype(io_dt), x.astype(io_dt),
-      w_ih_p.astype(jnp.float32), w_hh_p.astype(jnp.float32),
+      w_comb.astype(jnp.float32),
       bias_p.astype(jnp.float32), wd.astype(jnp.float32))
 
     return (outf[:s_len, :b] + outb[:s_len, :b]).astype(io_dt)
@@ -327,11 +341,17 @@ def grid_bilstm_fold(x: Array, w_ih: Array, w_hh: Array, bias: Array,
 # (every kernel op is row-independent) and is cropped by the caller.
 
 
-def _canvas_kernel(xf_cur, xf_nxt, xb_cur, xb_nxt, w_ih, w_hh, bias, wd,
+def _canvas_kernel(xf_cur, xf_nxt, xb_cur, xb_nxt, w_comb, bias, wd,
                    outf, outb, h_scr, c_scr, carry_f, buf_b, hbuf_f, hbuf_b,
                    *, hidden: int, cdim: int, L: int, n_real: int,
                    s_true: int, mxu_bf16: bool):
-    """One (b, tile, step) of the canvas grid RNN. Blocks: [1, cs, tb, C]."""
+    """One (b, tile, step) of the canvas grid RNN. Blocks: [1, cs, tb, C].
+
+    (A single accumulated output was prototyped in round 3 — seq-resident
+    VMEM block and scratch+manual-DMA variants — but a revisited output
+    block prices tile 88 out of the 16 MB scoped-VMEM budget and manual
+    HBM DMA requires 128-aligned minor dims, which C=32 is not. Two
+    per-direction outputs with XLA's crop-add stay.)"""
     j = pl.program_id(2)
     cs = _CHUNK
     io_dt = outf.dtype
@@ -347,15 +367,25 @@ def _canvas_kernel(xf_cur, xf_nxt, xb_cur, xb_nxt, w_ih, w_hh, bias, wd,
         return jnp.concatenate(
             [cat[t : t + cs] for t in range(_KS)], axis=-1)  # [cs, tb, 4C]
 
-    def store(ref, val):
-        ref[0] = val
+    # Forward writes block j at step j; backward writes block n_real-j.
+    # Each block is therefore touched exactly twice over the sweep, once
+    # per direction — the chronologically FIRST writer overwrites and the
+    # second accumulates, so no explicit zero-init pass (a full-block
+    # zeros temp would blow the VMEM stack budget). At the collision step
+    # 2j == n_real both target the same rows: store_f runs first and
+    # overwrites, store_b accumulates.
+    def store_f(val):
+        outf[0] = val
+
+    def store_b(val):
+        outb[0] = val
 
     m = n_real - 1 - j  # backward z block (garbage at j == n_real)
     _advance_and_fold(
         windows(xf_cur, xf_nxt, j * cs).astype(mm_dt),
         windows(xb_cur, xb_nxt, m * cs).astype(mm_dt),
-        w_ih, w_hh, bias, wd, outf, outb,
-        h_scr, c_scr, carry_f, buf_b, hbuf_f, hbuf_b, store,
+        w_comb, bias, wd, store_f, store_b,
+        h_scr, c_scr, carry_f, buf_b, hbuf_f, hbuf_b,
         hidden=hidden, cdim=cdim, L=L, n_real=n_real,
         j=j, m=m, mm_dt=mm_dt, io_dt=io_dt)
 
@@ -409,14 +439,17 @@ def _grid_rnn_seq1(x: Array, w_ih: Array, w_hh: Array, bias: Array,
 
     hp = _round_up(hidden, LANE)
     kc = _KS * cdim
-    w_ih_p, w_hh_p, bias_p, wd = _prep_weights(
+    w_comb, bias_p, wd = _prep_weights(
         w_ih, w_hh, bias, w_deconv, hidden, hp)
 
     # tile_cap (static; from the FDBM_TPU_GRIDRNN_TILE env knob via the
     # public wrapper) caps the waste-minimising tile choice — applies only
     # to this canvas kernel; grid_bilstm_fold keeps a fixed 64. 88 fits
-    # VMEM at C=32/H<=128 and leaves <1% pad waste on the 262/263-row
-    # production canvases.
+    # VMEM at C=32/H<=128 (bf16 io) and leaves <1% pad waste on the
+    # 262/263-row production canvases. In fp32 io the seq-resident output
+    # block and the hbuf scratch double in bytes, so cap the tile at 64.
+    if io_dt == jnp.float32:
+        tile_cap = min(tile_cap, 64)
     tile = _pick_tile(p_true, tile_cap)
     n_tiles = -(-p_true // tile)
     n_real = -(-L // _CHUNK)
@@ -443,6 +476,11 @@ def _grid_rnn_seq1(x: Array, w_ih: Array, w_hh: Array, bias: Array,
     blk = (1, _CHUNK, tile, cdim)
     bcast = lambda bi, ti, sj: (0, 0, 0)
     xio = x.astype(io_dt)
+    s_out = (n_real + 1) * _CHUNK
+    # bf16 io runs all matmuls on bf16 operands anyway — ship the weights
+    # pre-cast so their VMEM buffers halve and the in-kernel casts vanish.
+    w_dt = jnp.bfloat16 if (mxu_bf16 or io_dt == jnp.bfloat16) \
+        else jnp.float32
 
     outf, outb = pl.pallas_call(
         functools.partial(
@@ -454,8 +492,8 @@ def _grid_rnn_seq1(x: Array, w_ih: Array, w_hh: Array, bias: Array,
             pl.BlockSpec(blk, nxt_f, memory_space=pltpu.VMEM),
             pl.BlockSpec(blk, cur_b, memory_space=pltpu.VMEM),
             pl.BlockSpec(blk, nxt_b, memory_space=pltpu.VMEM),
-            pl.BlockSpec((2, kc, 4 * hp), bcast, memory_space=pltpu.VMEM),
-            pl.BlockSpec((2, hp, 4 * hp), bcast, memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, kc + hp, 4 * hp), bcast,
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 2, 4 * hp), bcast, memory_space=pltpu.VMEM),
             pl.BlockSpec((2, hp, kc), bcast, memory_space=pltpu.VMEM),
         ],
@@ -467,23 +505,26 @@ def _grid_rnn_seq1(x: Array, w_ih: Array, w_hh: Array, bias: Array,
         ],
         out_shape=[
             jax.ShapeDtypeStruct(
-                (b, (n_real + 1) * _CHUNK, n_tiles * tile, cdim), io_dt),
+                (b, s_out, n_tiles * tile, cdim), io_dt),
         ] * 2,
         scratch_shapes=[
             pltpu.VMEM((2 * tile, hp), jnp.float32),
             pltpu.VMEM((2 * tile, hp), jnp.float32),
             pltpu.VMEM((_KS - 1, tile, cdim), jnp.float32),
             pltpu.VMEM((_CHUNK, tile, cdim), jnp.float32),
-            pltpu.VMEM((_CHUNK, tile, hp), jnp.float32),
-            pltpu.VMEM((_CHUNK, tile, hp), jnp.float32),
+            # hidden-state buffers feed only the deconv matmul; in bf16 io
+            # the matmul runs on bf16 operands anyway, so storing them
+            # bf16 halves their VMEM
+            pltpu.VMEM((_CHUNK, tile, hp), io_dt),
+            pltpu.VMEM((_CHUNK, tile, hp), io_dt),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=_use_interpret(),
     )(xio, xio, xio, xio,
-      w_ih_p.astype(jnp.float32), w_hh_p.astype(jnp.float32),
-      bias_p.astype(jnp.float32), wd.astype(jnp.float32))
+      w_comb.astype(w_dt),
+      bias_p.astype(jnp.float32), wd.astype(w_dt))
 
     return (outf[:, :s_true, :p_true] + outb[:, :s_true, :p_true]
             ).astype(io_dt)
