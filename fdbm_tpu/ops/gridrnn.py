@@ -344,7 +344,7 @@ def grid_bilstm_fold(x: Array, w_ih: Array, w_hh: Array, bias: Array,
 def _canvas_kernel(xf_cur, xf_nxt, xb_cur, xb_nxt, w_comb, bias, wd,
                    outf, outb, h_scr, c_scr, carry_f, buf_b, hbuf_f, hbuf_b,
                    *, hidden: int, cdim: int, L: int, n_real: int,
-                   s_true: int, mxu_bf16: bool):
+                   n_out: int, s_true: int, mxu_bf16: bool):
     """One (b, tile, step) of the canvas grid RNN. Blocks: [1, cs, tb, C].
 
     (A single accumulated output was prototyped in round 3 — seq-resident
@@ -368,17 +368,24 @@ def _canvas_kernel(xf_cur, xf_nxt, xb_cur, xb_nxt, w_comb, bias, wd,
             [cat[t : t + cs] for t in range(_KS)], axis=-1)  # [cs, tb, 4C]
 
     # Forward writes block j at step j; backward writes block n_real-j.
-    # Each block is therefore touched exactly twice over the sweep, once
-    # per direction — the chronologically FIRST writer overwrites and the
-    # second accumulates, so no explicit zero-init pass (a full-block
-    # zeros temp would blow the VMEM stack budget). At the collision step
-    # 2j == n_real both target the same rows: store_f runs first and
-    # overwrites, store_b accumulates.
+    # The outputs are allocated at the TRUE [s_true, p_true] extent
+    # (round-3: the former (n_real+1)*_CHUNK x n_tiles*tile allocation
+    # forced XLA to crop-add the pair at a measured ~27 GB/s — slice_add
+    # was 7.9 ms/forward). Steps whose target block lies entirely past
+    # the last real block (forward flush when content ends earlier,
+    # backward warmup) have their index map CLAMPED to the last block and
+    # their store skipped: a skipped store writes the buffer back
+    # unmodified (fetch semantics) or coalesces with the real write of
+    # the same block index (revisit semantics) — correct either way.
     def store_f(val):
-        outf[0] = val
+        @pl.when(j < n_out)
+        def _():
+            outf[0] = val
 
     def store_b(val):
-        outb[0] = val
+        @pl.when(j > n_real - n_out)
+        def _():
+            outb[0] = val
 
     m = n_real - 1 - j  # backward z block (garbage at j == n_real)
     _advance_and_fold(
@@ -476,7 +483,7 @@ def _grid_rnn_seq1(x: Array, w_ih: Array, w_hh: Array, bias: Array,
     blk = (1, _CHUNK, tile, cdim)
     bcast = lambda bi, ti, sj: (0, 0, 0)
     xio = x.astype(io_dt)
-    s_out = (n_real + 1) * _CHUNK
+    n_out = -(-s_true // _CHUNK)  # real output seq blocks
     # bf16 io runs all matmuls on bf16 operands anyway — ship the weights
     # pre-cast so their VMEM buffers halve and the in-kernel casts vanish.
     w_dt = jnp.bfloat16 if (mxu_bf16 or io_dt == jnp.bfloat16) \
@@ -485,7 +492,7 @@ def _grid_rnn_seq1(x: Array, w_ih: Array, w_hh: Array, bias: Array,
     outf, outb = pl.pallas_call(
         functools.partial(
             _canvas_kernel, hidden=hp, cdim=cdim, L=L, n_real=n_real,
-            s_true=s_true, mxu_bf16=mxu_bf16),
+            n_out=n_out, s_true=s_true, mxu_bf16=mxu_bf16),
         grid=grid,
         in_specs=[
             pl.BlockSpec(blk, cur_f, memory_space=pltpu.VMEM),
@@ -498,14 +505,17 @@ def _grid_rnn_seq1(x: Array, w_ih: Array, w_hh: Array, bias: Array,
             pl.BlockSpec((2, hp, kc), bcast, memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec(blk, lambda bi, ti, sj: (bi, sj, ti, 0),
+            pl.BlockSpec(blk,
+                         lambda bi, ti, sj: (bi, jnp.minimum(sj, n_out - 1),
+                                             ti, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(blk, lambda bi, ti, sj: (bi, n_real - sj, ti, 0),
+            pl.BlockSpec(blk,
+                         lambda bi, ti, sj: (bi, jnp.clip(n_real - sj, 0,
+                                                          n_out - 1), ti, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct(
-                (b, s_out, n_tiles * tile, cdim), io_dt),
+            jax.ShapeDtypeStruct((b, s_true, p_true, cdim), io_dt),
         ] * 2,
         scratch_shapes=[
             pltpu.VMEM((2 * tile, hp), jnp.float32),
@@ -526,5 +536,4 @@ def _grid_rnn_seq1(x: Array, w_ih: Array, w_hh: Array, bias: Array,
       w_comb.astype(w_dt),
       bias_p.astype(jnp.float32), wd.astype(w_dt))
 
-    return (outf[:, :s_true, :p_true] + outb[:, :s_true, :p_true]
-            ).astype(io_dt)
+    return (outf + outb).astype(io_dt)
