@@ -69,6 +69,20 @@ def _pallas_fast_path_ok(c: int, hidden: int) -> bool:
     return c % 8 == 0 and c <= 64 and hidden <= 128
 
 
+def _attn_fast_path_ok(c: int, t_len: int, q_bins: int, e: int,
+                       n_head: int) -> bool:
+    """Gate for the fused frame-attention kernel (ops/attention.py).
+
+    VMEM budget: the kernel keeps Q and K fully resident
+    ([T, Q*H*E] each), one V/O lane block, and the fp32 score scratch
+    [H, T, T]. At the production canvas (T<=512, Q<=512, H*E=8, C=32)
+    this is <11 MB of the ~16 MB scoped-VMEM stack; larger frames or a
+    channel count that doesn't divide the V block fall back to XLA."""
+    return (2048 % c == 0 and t_len <= 512 and
+            q_bins * n_head * e <= 8192 and
+            n_head * t_len * t_len * 4 <= 6 * 2**20)
+
+
 class _RnnPath(nn.Module):
     """One intra- or inter- RNN path: LN -> unfold -> BiLSTM -> fold -> +res.
 
@@ -236,24 +250,37 @@ class GridNetBlock(nn.Module):
         v_feat = nn.Dense(c, dtype=self.dtype, name="attn_conv_V")(inter)
         v_feat = _AllHeadPReLULayerNorm(h_heads, d, name="attn_norm_V")(v_feat)
 
-        # The reference flattens heads to [B,H,T,E*Q] before the T x T
-        # score matmul (tfgridnet.py:402-411). Those flattens are 4 full
-        # 5-D transpose copies per block on TPU (~1.3 GB/forward,
-        # profiled round-3); contracting (q, e) directly in one
-        # dot_general computes the same sums (score = sum_{q,e} Q.K) with
-        # the layout work folded into the matmul's own operand staging.
-        q5 = q_feat.reshape(b, old_t, old_q, h_heads, e)
-        k5 = k_feat.reshape(b, old_t, old_q, h_heads, e)
-        v5 = v_feat.reshape(b, old_t, old_q, h_heads, d)
+        if self.use_pallas and _attn_fast_path_ok(c, old_t, old_q, e, h_heads):
+            # Inference fast path: scores, softmax and the value
+            # contraction run in VMEM — the [B,H,T,T] score tensor never
+            # round-trips HBM (3 full trips on the XLA path, several
+            # ms/forward of memory glue; ops/attention.py docstring).
+            from fdbm_tpu.ops.attention import frame_attention
 
-        scale = 1.0 / np.sqrt(e * old_q)
-        attn = jnp.einsum("btqhe,buqhe->bhtu", q5, k5) * scale
-        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(v5.dtype)
-        # out[b,t,q,h,d] = sum_u attn[b,h,t,u] v5[b,u,q,h,d]; the final
-        # [B,T,Q,H,D] -> [B,T,Q,C] merge (h slow, d fast: reference
-        # channel order) is a free contiguous reshape.
-        out = jnp.einsum("bhtu,buqhd->btqhd", attn, v5)
-        out = out.reshape(b, old_t, old_q, c)
+            out = frame_attention(
+                q_feat.reshape(b, old_t, old_q, h_heads * e),
+                k_feat.reshape(b, old_t, old_q, h_heads * e),
+                v_feat.reshape(b, old_t, old_q, c), h_heads, e)
+        else:
+            # The reference flattens heads to [B,H,T,E*Q] before the T x T
+            # score matmul (tfgridnet.py:402-411). Those flattens are 4 full
+            # 5-D transpose copies per block on TPU (~1.3 GB/forward,
+            # profiled round-3); contracting (q, e) directly in one
+            # dot_general computes the same sums (score = sum_{q,e} Q.K)
+            # with the layout work folded into the matmul's own operand
+            # staging.
+            q5 = q_feat.reshape(b, old_t, old_q, h_heads, e)
+            k5 = k_feat.reshape(b, old_t, old_q, h_heads, e)
+            v5 = v_feat.reshape(b, old_t, old_q, h_heads, d)
+
+            scale = 1.0 / np.sqrt(e * old_q)
+            attn = jnp.einsum("btqhe,buqhe->bhtu", q5, k5) * scale
+            attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(v5.dtype)
+            # out[b,t,q,h,d] = sum_u attn[b,h,t,u] v5[b,u,q,h,d]; the final
+            # [B,T,Q,H,D] -> [B,T,Q,C] merge (h slow, d fast: reference
+            # channel order) is a free contiguous reshape.
+            out = jnp.einsum("bhtu,buqhd->btqhd", attn, v5)
+            out = out.reshape(b, old_t, old_q, c)
 
         out = nn.Dense(c, dtype=self.dtype, name="attn_proj")(out)
         out = PReLU(param_shape=(), name="attn_prelu")(out)

@@ -1,0 +1,77 @@
+"""Fused frame-attention kernel (ops/attention.py) vs the XLA einsum path.
+
+The kernel computes per-head softmax(QK^T/sqrt(E*Q)) @ V entirely in VMEM
+on flat head-minor layouts (reference semantics:
+/root/reference/fdbm/backbones/tfgridnet.py:394-418). Runs in Pallas
+interpret mode on CPU.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fdbm_tpu.ops.attention import frame_attention
+
+
+def _xla_attention(q, k, v, n_head, e_dim):
+    """The GridNetBlock einsum path (models/tfgridnet.py), fp32."""
+    b, t, qb, _ = q.shape
+    d = v.shape[-1] // n_head
+    q5 = q.reshape(b, t, qb, n_head, e_dim)
+    k5 = k.reshape(b, t, qb, n_head, e_dim)
+    v5 = v.reshape(b, t, qb, n_head, d)
+    scale = 1.0 / np.sqrt(e_dim * qb)
+    attn = jnp.einsum("btqhe,buqhe->bhtu", q5, k5) * scale
+    attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(v5.dtype)
+    out = jnp.einsum("bhtu,buqhd->btqhd", attn, v5)
+    return out.reshape(b, t, qb, n_head * d)
+
+
+@pytest.mark.parametrize("b,t,qb,h,e,c", [
+    (2, 37, 65, 4, 2, 32),    # odd T/Q, V spans 2 lane blocks (65*32 > 2048)
+    (1, 13, 7, 4, 2, 32),     # tiny, single partial lane block
+    (1, 262, 256, 4, 2, 32),  # production 5l32c100 canvas shape
+    (2, 24, 16, 2, 4, 16),    # different head/e split, c=16
+])
+def test_frame_attention_matches_xla(b, t, qb, h, e, c):
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.standard_normal((b, t, qb, h * e)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, t, qb, h * e)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, t, qb, c)), jnp.float32)
+
+    want = np.asarray(_xla_attention(q, k, v, h, e))
+    got = np.asarray(frame_attention(q, k, v, h, e))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_frame_attention_bf16_streams():
+    """bf16 io (production serving dtype): kernel keeps fp32 score
+    accumulators, so it must stay within bf16 rounding of the fp32 truth."""
+    b, t, qb, h, e, c = 2, 50, 40, 4, 2, 32
+    rng = np.random.default_rng(1)
+    qf = rng.standard_normal((b, t, qb, h * e)).astype(np.float32)
+    kf = rng.standard_normal((b, t, qb, h * e)).astype(np.float32)
+    vf = rng.standard_normal((b, t, qb, c)).astype(np.float32)
+
+    want = np.asarray(_xla_attention(
+        jnp.asarray(qf), jnp.asarray(kf), jnp.asarray(vf), h, e))
+    out = frame_attention(jnp.asarray(qf, jnp.bfloat16),
+                          jnp.asarray(kf, jnp.bfloat16),
+                          jnp.asarray(vf, jnp.bfloat16), h, e)
+    assert out.dtype == jnp.bfloat16
+    got = np.asarray(out, np.float32)
+    err = np.linalg.norm(got - want) / np.linalg.norm(want)
+    assert err < 2e-2, f"bf16 frame attention relative error {err}"
+    assert np.isfinite(got).all()
+
+
+def test_gridnetblock_attention_gate():
+    """The dispatch gate accepts the production shapes and rejects
+    VMEM-unsafe ones (long T blows the [H, T, T] fp32 scratch)."""
+    from fdbm_tpu.models.tfgridnet import _attn_fast_path_ok
+
+    assert _attn_fast_path_ok(32, 262, 256, 2, 4)    # 5l32c100
+    assert _attn_fast_path_ok(32, 102, 80, 2, 4)     # 4l32c80
+    assert not _attn_fast_path_ok(32, 1000, 256, 2, 4)   # score scratch
+    assert not _attn_fast_path_ok(24, 262, 256, 2, 4)    # 2048 % c != 0
