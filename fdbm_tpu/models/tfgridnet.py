@@ -181,22 +181,56 @@ class _AllHeadPReLULayerNorm(nn.Module):
     Input [B, T, Q, H*E] viewed as [..., H, E]; statistics over E only
     (reference tfgridnet.py:458-484 computes mean/var over dim=2 of
     [B,H,E,T,F]).
+
+    ``lane_stats=True`` computes the same statistics WITHOUT leaving the
+    flat [B, T, Q, H*E] lane layout: a dot against a block-diagonal
+    [C, C] averaging matrix both segment-reduces over each head's E
+    lanes and broadcasts the stat back to them. The default path's
+    reduce over a minor axis of 2 (q/k) or 8 (v) runs the VPU at 1/64th
+    lane utilisation; the dot form keeps the MXU (idle in this program)
+    doing the layout work. Same parameters, same math — dispatch is a
+    pure perf choice.
     """
 
     n_head: int
     e_dim: int
     eps: float = 1e-5
+    lane_stats: bool = False
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
         b, t, q, _ = x.shape
         h, e = self.n_head, self.e_dim
-        x = x.reshape(b, t, q, h, e)
         alpha = self.param("prelu_alpha", lambda k, s: jnp.full(s, 0.25, jnp.float32),
                            (h, 1))
-        x = jnp.where(x >= 0, x, alpha.astype(x.dtype) * x)
         gamma = self.param("gamma", nn.initializers.ones, (h, e))
         beta = self.param("beta", nn.initializers.zeros, (h, e))
+
+        if self.lane_stats:
+            c = h * e
+            al = jnp.repeat(alpha[:, 0], e).astype(x.dtype)  # [C] per-lane
+            x = x.reshape(b, t, q, c)
+            x = jnp.where(x >= 0, x, al * x)
+            x32 = x.astype(jnp.float32)
+            # A[i, j] = 1/E iff lanes i, j belong to the same head: one dot
+            # = segment-mean over E + broadcast back to the head's lanes.
+            lane = np.arange(c)
+            blk = jnp.asarray((lane[:, None] // e == lane[None, :] // e)
+                              / e, jnp.float32)
+            hi = jax.lax.Precision.HIGHEST
+            mu = jax.lax.dot_general(
+                x32, blk, (((3,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=hi)
+            xc = x32 - mu
+            var = jax.lax.dot_general(
+                xc * xc, blk, (((3,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=hi)
+            xh = xc * jax.lax.rsqrt(var + self.eps)
+            out = xh * gamma.reshape(c) + beta.reshape(c)
+            return out.astype(x.dtype).reshape(b, t, q, h, e)
+
+        x = x.reshape(b, t, q, h, e)
+        x = jnp.where(x >= 0, x, alpha.astype(x.dtype) * x)
         x32 = x.astype(jnp.float32)
         mu = jnp.mean(x32, axis=-1, keepdims=True)
         var = jnp.var(x32, axis=-1, keepdims=True)
@@ -243,12 +277,18 @@ class GridNetBlock(nn.Module):
         inter = xp[:, olp : olp + old_t, olp : olp + old_q, :]
 
         # ---- full-band frame self-attention over T -----------------------
+        # lane_stats on the inference fast path: MXU block-diagonal dots
+        # instead of minor-axis-2/8 VPU reduces (see _AllHeadPReLULayerNorm).
+        ls = self.use_pallas
         q_feat = nn.Dense(h_heads * e, dtype=self.dtype, name="attn_conv_Q")(inter)
-        q_feat = _AllHeadPReLULayerNorm(h_heads, e, name="attn_norm_Q")(q_feat)
+        q_feat = _AllHeadPReLULayerNorm(h_heads, e, lane_stats=ls,
+                                        name="attn_norm_Q")(q_feat)
         k_feat = nn.Dense(h_heads * e, dtype=self.dtype, name="attn_conv_K")(inter)
-        k_feat = _AllHeadPReLULayerNorm(h_heads, e, name="attn_norm_K")(k_feat)
+        k_feat = _AllHeadPReLULayerNorm(h_heads, e, lane_stats=ls,
+                                        name="attn_norm_K")(k_feat)
         v_feat = nn.Dense(c, dtype=self.dtype, name="attn_conv_V")(inter)
-        v_feat = _AllHeadPReLULayerNorm(h_heads, d, name="attn_norm_V")(v_feat)
+        v_feat = _AllHeadPReLULayerNorm(h_heads, d, lane_stats=ls,
+                                        name="attn_norm_V")(v_feat)
 
         if self.use_pallas and _attn_fast_path_ok(c, old_t, old_q, e, h_heads):
             # Inference fast path: scores, softmax and the value

@@ -66,6 +66,26 @@ def test_frame_attention_bf16_streams():
     assert np.isfinite(got).all()
 
 
+@pytest.mark.parametrize("h,e", [(4, 2), (4, 8)])
+def test_allhead_norm_lane_stats_matches_reduce(h, e):
+    """lane_stats=True (block-diagonal MXU dots) == the E-axis reduce path,
+    same params — the two are alternative lowerings of the same math."""
+    from fdbm_tpu.models.tfgridnet import _AllHeadPReLULayerNorm
+
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.standard_normal((2, 9, 7, h * e)), jnp.float32)
+    m_red = _AllHeadPReLULayerNorm(h, e)
+    m_lane = _AllHeadPReLULayerNorm(h, e, lane_stats=True)
+    params = m_red.init(jax.random.PRNGKey(0), x)
+    # non-trivial affine/prelu params so the test can see a mixup
+    params = jax.tree.map(
+        lambda p: p + 0.1 * jnp.arange(p.size, dtype=p.dtype).reshape(p.shape),
+        params)
+    want = np.asarray(m_red.apply(params, x))
+    got = np.asarray(m_lane.apply(params, x))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
 def test_gridnetblock_attention_gate():
     """The dispatch gate accepts the production shapes and rejects
     VMEM-unsafe ones (long T blows the [H, T, T] fp32 scratch)."""
