@@ -114,10 +114,15 @@ def test_two_process_matches_single_process(tmp_path):
 
     np.testing.assert_allclose(float(metrics["train_loss"]),
                                float(multi["loss"]), rtol=1e-5)
-    # global-norm sums squares over every param with different reduction
-    # orders on 1 vs 2 devices — allow accumulation-order noise
+    # The 1- and 2-device runs are DIFFERENT XLA programs: within-dot
+    # accumulation orders differ (~1e-6 local fp32 noise), and the
+    # recurrent backprop at random init amplifies that to ~2e-4 on the
+    # forward and ~1-2% on the gradient norm (measured round-3: fp32
+    # 1.6%, float64 0.15% — pure conditioning, not a missing collective;
+    # a dropped grad all-reduce would show ~sqrt(2)=41% here). Loss and
+    # per-leaf checks above bound the semantics much tighter.
     np.testing.assert_allclose(float(metrics["grad_norm"]),
-                               float(multi["grad_norm"]), rtol=1e-2)
+                               float(multi["grad_norm"]), rtol=5e-2)
     single_leaf = np.asarray(jax.tree_util.tree_leaves(new_state.params)[0])
     np.testing.assert_allclose(multi["leaf"], single_leaf, atol=1e-3)
 
