@@ -30,6 +30,14 @@ def load_model_from_ckpt(ckpt_dir: str, slot: str = "best_pesq",
 
     if os.path.isfile(ckpt_dir) and ckpt_dir.endswith(".ckpt"):
         return load_model_from_torch_ckpt(ckpt_dir, overrides)
+    # Accept a slot directory directly (e.g. <run>/checkpoints/last):
+    # meta.json lives in the checkpoints dir, so resolve to the parent
+    # and use the basename as the slot.
+    meta = os.path.join(ckpt_dir, "meta.json")
+    parent_meta = os.path.join(os.path.dirname(ckpt_dir), "meta.json")
+    if not os.path.exists(meta) and os.path.exists(parent_meta):
+        slot = os.path.basename(os.path.normpath(ckpt_dir))
+        ckpt_dir = os.path.dirname(os.path.normpath(ckpt_dir))
     cfg_blob = load_checkpoint_config(ckpt_dir)
     if overrides:
         cfg_blob = {**cfg_blob, **{k: v for k, v in overrides.items() if v is not None}}

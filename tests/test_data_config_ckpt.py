@@ -136,6 +136,27 @@ def test_checkpoint_roundtrip(tmp_path):
     assert meta["best"]["valid_loss"] == 1.0
 
 
+def test_load_model_accepts_slot_directory(tmp_path):
+    """`ckpt` pointing at a slot dir (<run>/checkpoints/last) must resolve
+    to the parent checkpoints dir + that slot, not FileNotFoundError —
+    users naturally pass the slot path (reference --ckpt takes a file)."""
+    import sys
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from infer_single import load_model_from_ckpt
+
+    fdbm = FDBM(FDBMConfig(**SMALL))
+    state = fdbm.init_state(jax.random.PRNGKey(0))
+    cfg_blob = {k: getattr(FDBMConfig(**SMALL), k) for k in SMALL}
+    mgr = CheckpointManager(str(tmp_path / "ck"), save_interval=1,
+                            config=cfg_blob)
+    mgr.save(state, {"valid_loss": 1.0})
+
+    fdbm2, state2 = load_model_from_ckpt(str(tmp_path / "ck" / "last"))
+    a = jax.tree_util.tree_leaves(state.params)[0]
+    b = jax.tree_util.tree_leaves(state2.params)[0]
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_params_only_save_restore(tmp_path):
     fdbm = FDBM(FDBMConfig(**SMALL))
     params = fdbm.init_params(jax.random.PRNGKey(0))
