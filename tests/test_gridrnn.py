@@ -145,6 +145,30 @@ def test_gridnetblock_fused_matches_scan_exactly():
                                rtol=5e-4, atol=5e-4)
 
 
+def test_full_model_fused_matches_scan():
+    """Whole TFGridNet forward (2 blocks, time-conditioned): the Pallas
+    inference path — canvas swaps between blocks, grid-RNN kernels,
+    fused attention, lane-stats norms — equals the XLA path on shared
+    params."""
+    from fdbm_tpu.models.tfgridnet import TFGridNet
+
+    b, f, t = 2, 11, 10
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.standard_normal((b, 1, f, t))
+                    + 1j * rng.standard_normal((b, 1, f, t)), jnp.complex64)
+    y = jnp.asarray(rng.standard_normal((b, 1, f, t))
+                    + 1j * rng.standard_normal((b, 1, f, t)), jnp.complex64)
+    tt = jnp.asarray(rng.uniform(0.1, 1.0, (b,)), jnp.float32)
+
+    kw = dict(n_layers=2, emb_dim=16, hidden=20)
+    m_scan = TFGridNet(use_pallas=False, **kw)
+    m_fused = TFGridNet(use_pallas=True, **kw)
+    params = m_scan.init(jax.random.PRNGKey(0), x, y, tt)
+    out_scan = np.asarray(m_scan.apply(params, x, y, tt))
+    out_fused = np.asarray(m_fused.apply(params, x, y, tt))
+    np.testing.assert_allclose(out_fused, out_scan, rtol=5e-4, atol=5e-4)
+
+
 @pytest.mark.parametrize("mxu_bf16", [False, True])
 def test_canvas_kernel_bf16_streams(mxu_bf16):
     """bf16 io streams (the production serving configuration,
