@@ -137,30 +137,8 @@ def main():
     print(json.dumps(record))
 
 
-def _main_with_backend_retry(attempts: int = 3, wait_s: float = 120.0):
-    """The tunnelled TPU backend can transiently refuse to initialise
-    ('Unable to initialize backend: UNAVAILABLE', observed round-3 for
-    ~minutes at a time). Backend init failure is the only retryable
-    error: retry it so a round-end bench run doesn't lose the datapoint
-    to a tunnel blip; any other error propagates immediately."""
-    for attempt in range(attempts):
-        try:
-            main()
-            return
-        except RuntimeError as e:
-            retryable = "nable to initialize backend" in str(e)
-            if not retryable or attempt == attempts - 1:
-                raise
-            print(f"# backend init failed (attempt {attempt + 1}/"
-                  f"{attempts}), retrying in {wait_s:.0f}s", flush=True)
-            time.sleep(wait_s)
-            try:  # jax caches backend-init failures per process
-                from jax.extend.backend import clear_backends
-
-                clear_backends()
-            except Exception:
-                pass
-
-
 if __name__ == "__main__":
-    _main_with_backend_retry()
+    from fdbm_tpu.utils.backend_retry import retry_backend_init
+
+    # A round-end bench run must survive a tunnel blip (utils/backend_retry).
+    retry_backend_init(main)

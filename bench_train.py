@@ -94,4 +94,6 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    from fdbm_tpu.utils.backend_retry import retry_backend_init
+
+    retry_backend_init(main)
