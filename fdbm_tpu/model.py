@@ -23,7 +23,7 @@ builds **pure jittable step functions** plus a TrainState pytree:
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp

@@ -11,7 +11,7 @@ import argparse
 
 import jax
 
-from fdbm_tpu.checkpoint import load_checkpoint_config, restore_params
+from fdbm_tpu.checkpoint import load_checkpoint_config
 from fdbm_tpu.config import load_config, parse_cli_overrides
 from fdbm_tpu.infer import enhance_single
 from fdbm_tpu.model import FDBM, FDBMConfig

@@ -2,7 +2,6 @@
 (fdbm/model.py:162-256, fdbm/loss.py) and our jnp results must match."""
 
 import numpy as np
-import pytest
 import torch
 
 import jax.numpy as jnp
