@@ -138,7 +138,14 @@ def main():
 
 
 if __name__ == "__main__":
-    from fdbm_tpu.utils.backend_retry import retry_backend_init
+    import os as _os
+
+    from fdbm_tpu.utils.backend_retry import (ensure_backend,
+                                              retry_backend_init)
+
+    # Fail fast (exit 3) if backend INIT hangs outright — the tunnel's
+    # other failure mode besides the retryable init error.
+    ensure_backend(float(_os.environ.get("FDBM_TPU_INIT_TIMEOUT", "900")))
 
     # A round-end bench run must survive a tunnel blip (utils/backend_retry).
     retry_backend_init(main)
