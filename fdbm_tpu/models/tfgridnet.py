@@ -70,17 +70,18 @@ def _pallas_fast_path_ok(c: int, hidden: int) -> bool:
 
 
 def _attn_fast_path_ok(c: int, t_len: int, q_bins: int, e: int,
-                       n_head: int) -> bool:
+                       n_head: int, io_bytes: int = 2) -> bool:
     """Gate for the fused frame-attention kernel (ops/attention.py).
 
-    VMEM budget: the kernel keeps Q and K fully resident
-    ([T, Q*H*E] each), one V/O lane block, and the fp32 score scratch
-    [H, T, T]. At the production canvas (T<=512, Q<=512, H*E=8, C=32)
-    this is <11 MB of the ~16 MB scoped-VMEM stack; larger frames or a
-    channel count that doesn't divide the V block fall back to XLA."""
-    return (2048 % c == 0 and t_len <= 512 and
-            q_bins * n_head * e <= 8192 and
-            n_head * t_len * t_len * 4 <= 6 * 2**20)
+    Delegates to the kernel's own VMEM estimator (`fast_path_ok`), which
+    sizes K/V residency, the query tile ladder, and the fp32 score
+    scratch against the 16 MB scoped-VMEM stack — so the gate and the
+    kernel's tile chooser can never disagree about what fits (the
+    round-3 folder sweep caught exactly that disagreement: a guard pass
+    followed by a 17.14 MB compile-time VMEM OOM at the 8 s bucket)."""
+    from fdbm_tpu.ops.attention import fast_path_ok
+
+    return fast_path_ok(c, t_len, q_bins, e, n_head, io_bytes)
 
 
 class _RnnPath(nn.Module):
@@ -290,7 +291,9 @@ class GridNetBlock(nn.Module):
         v_feat = _AllHeadPReLULayerNorm(h_heads, d, lane_stats=ls,
                                         name="attn_norm_V")(v_feat)
 
-        if self.use_pallas and _attn_fast_path_ok(c, old_t, old_q, e, h_heads):
+        io_bytes = 2 if self.dtype == jnp.bfloat16 else 4
+        if self.use_pallas and _attn_fast_path_ok(c, old_t, old_q, e,
+                                                  h_heads, io_bytes):
             # Inference fast path: scores, softmax and the value
             # contraction run in VMEM — the [B,H,T,T] score tensor never
             # round-trips HBM (3 full trips on the XLA path, several

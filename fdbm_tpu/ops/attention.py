@@ -8,7 +8,7 @@ trips of the [B,H,T,T] fp32 score tensor (write scores, read+write
 softmax, read for the value matmul) — profiled at several ms/forward of
 pure memory glue (BENCH_NOTES round-3).
 
-This kernel runs the whole attention for one (batch, q-tile) grid cell in
+This kernel runs the attention for one (batch, q-tile) grid cell in
 VMEM: scores, softmax and the value contraction never touch HBM. The
 head loop is algebraic, not a data layout: with Q/K/V kept in the
 model's own [B, T, Q*(H*Eh)] flat layout (head-minor lanes), head h's
@@ -23,6 +23,17 @@ The h-fold FLOP redundancy (H=4 full-width dots instead of 1) is ~1.3 ms
 of MXU time at the production shape — far below the memory glue it
 replaces; the MXU is idle in this program anyway (VPU/HBM-bound,
 BENCH_NOTES roofline).
+
+VMEM sizing (round-3 fix): K and one V lane-block stay fully resident
+(the value contraction needs every key/value frame), but the QUERY side
+is tiled — grid (b, n_qt, n_vb), with the per-tile fp32 score scratch
+[H, tq, T] recomputed when the v-block index wraps to 0. The tile tq is
+chosen at trace time by `_vmem_estimate` (ladder: full T, 256, 128, 64);
+`fast_path_ok` exposes the same estimate to the model's dispatch gate so
+the gate and the kernel can never disagree about what fits. The previous
+full-T kernel compiled at the 4 s bucket (T=262) but blew the 16 MB
+scoped-VMEM stack by 1.1 MB at the 8 s folder-serving bucket (T=321,
+measured: 17.14 MB requested).
 
 Numerics: scores and softmax are fp32 regardless of io dtype (matches
 the XLA path, which casts the score tensor to fp32 for softmax —
@@ -46,25 +57,96 @@ from fdbm_tpu.ops.lstm import _use_interpret
 Array = jnp.ndarray
 
 # V/O lanes per grid step. 2048 lanes x 256 frames is 1 MB bf16 / 2 MB
-# fp32 per stream; with Q/K resident and the fp32 score scratch the
-# kernel sits well inside the 16 MB scoped-VMEM budget.
+# fp32 per stream.
 _V_BLK = 2048
+
+# Scoped-VMEM budget the tile chooser sizes against — a threshold on the
+# ESTIMATE, anchored on four compiler-measured points (round-3 folder
+# sweep + probes on the v5e):
+#   T=262 full-T   compiled+ran   -> estimate 15.0 MiB (must accept)
+#   T=321 tq=128   compiled+ran   -> estimate 12.2 MiB (must accept)
+#   T=328 full-T   OOM, 17.14 MiB -> estimate 19.0 MiB (must reject)
+#   T=513 tq=128   OOM, 16.76 MiB -> estimate 16.9 MiB (must reject)
+# 16 MiB separates every accept from every reject.
+_VMEM_BUDGET = 16 * 2**20
+
+
+def _pad8(x: int) -> int:
+    return -(-x // 8) * 8
+
+
+def _pad128(x: int) -> int:
+    return -(-x // 128) * 128
+
+
+def _vmem_estimate(tq: int, t_len: int, qk_lanes: int, n_head: int,
+                   io_bytes: int) -> int:
+    """Scoped-VMEM bytes for one grid cell at query-tile size ``tq``.
+
+    Counts the Mosaic-allocated window buffers (Q tile, K full, V/O
+    lane-blocks — V and O double-buffered because their index advances
+    with the fastest grid dim; Q double-buffered only when it advances,
+    i.e. when tiled), the fp32 score scratch [H, tq, T], the kernel-body
+    fp32 temporaries (two [tq, _V_BLK] value-side arrays and one [tq, T]
+    score row-block), and an fp32 [lanes, T] staging copy of K for the
+    lane-contraction score dot (the MXU contracts the RHS over sublanes,
+    so Mosaic re-lays K out transposed; without this term the estimate
+    ran 4.3 MiB below the compiler's measured 16.76 MiB at T=513).
+    """
+    t_p, tq_p = _pad8(t_len), _pad8(tq)
+    ql = _pad128(qk_lanes)
+    sl = _pad128(t_len)
+    q_blk = tq_p * ql * io_bytes * (2 if tq < t_len else 1)
+    k_blk = t_p * ql * io_bytes
+    v_blk = 2 * t_p * _V_BLK * io_bytes
+    o_blk = 2 * tq_p * _V_BLK * io_bytes
+    scr = n_head * tq_p * sl * 4
+    tmp = 2 * tq_p * _V_BLK * 4 + tq_p * sl * 4
+    k_stage = t_p * ql * 4
+    return q_blk + k_blk + v_blk + o_blk + scr + tmp + k_stage
+
+
+def _pick_q_tile(t_len: int, qk_lanes: int, n_head: int,
+                 io_bytes: int) -> int | None:
+    """Largest query tile from the ladder that fits the VMEM budget,
+    or None when even the smallest doesn't (caller falls back to XLA)."""
+    for tq in (t_len, 256, 128, 64):
+        if tq > t_len:
+            continue
+        if _vmem_estimate(tq, t_len, qk_lanes, n_head, io_bytes) <= _VMEM_BUDGET:
+            return tq
+    return None
+
+
+def fast_path_ok(c: int, t_len: int, q_bins: int, e: int,
+                 n_head: int, io_bytes: int = 2) -> bool:
+    """True when the fused kernel can run this shape within VMEM.
+
+    The model's dispatch gate (models/tfgridnet._attn_fast_path_ok)
+    delegates here so gating and kernel sizing share one estimator.
+    ``2048 % c == 0`` keeps whole (h, d) output groups inside one V/O
+    lane block (the kernel's head-select masks rely on it).
+    """
+    return (c > 0 and _V_BLK % c == 0 and
+            _pick_q_tile(t_len, q_bins * n_head * e, n_head, io_bytes)
+            is not None)
 
 
 def _attn_kernel(q_ref, k_ref, v_ref, o_ref, s_scr, *, n_head: int,
                  e_dim: int, d_dim: int, q_bins: int, t_len: int,
-                 scale: float, mm_dt):
-    qt = pl.program_id(1)
+                 tq: int, scale: float, mm_dt):
+    qi = pl.program_id(1)
+    vb = pl.program_id(2)
     hi = jax.lax.Precision.HIGHEST if mm_dt == jnp.float32 else None
 
-    @pl.when(qt == 0)
+    @pl.when(vb == 0)
     def _():
-        q = q_ref[0].astype(mm_dt)  # [T, Q*H*E] (+ lane pad)
-        k = k_ref[0].astype(mm_dt)
+        q = q_ref[0].astype(mm_dt)  # [tq, Q*H*E] (+ lane pad)
+        k = k_ref[0].astype(mm_dt)  # [T,  Q*H*E]
         he = n_head * e_dim
         lanes = jax.lax.broadcasted_iota(jnp.int32, q.shape, 1)
         real = lanes < q_bins * he
-        rows = jax.lax.broadcasted_iota(jnp.int32, (t_len, t_len), 1)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (tq, t_len), 1)
         for h in range(n_head):
             sel = jnp.logical_and(real, (lanes % he) // e_dim == h)
             qm = jnp.where(sel, q, jnp.zeros_like(q))
@@ -74,16 +156,19 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, s_scr, *, n_head: int,
                 qm, k, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32, precision=hi)
             s = s * scale
-            # mask sublane-pad score columns (T not a multiple of 8)
-            s = jnp.where(rows < t_len, s, -jnp.inf)
+            # mask pad score columns (key frames beyond t_len)
+            s = jnp.where(cols < t_len, s, -jnp.inf)
             s = jax.nn.softmax(s, axis=-1)
             s_scr[h] = s
+        # rows of a partial final q-tile (query index >= t_len) hold
+        # garbage; they stay row-local through softmax and the value
+        # matmul and are dropped by the masked output store.
 
     v = v_ref[0].astype(mm_dt)  # [T, v_blk lanes of Q*(H*D)]
     hd = n_head * d_dim
     # absolute lane id mod H*D is block-invariant (_V_BLK % (H*D) == 0)
-    vlanes = jax.lax.broadcasted_iota(jnp.int32, (t_len, v.shape[-1]), 1)
-    acc = jnp.zeros((t_len, v.shape[-1]), jnp.float32)
+    vlanes = jax.lax.broadcasted_iota(jnp.int32, (tq, v.shape[-1]), 1)
+    acc = jnp.zeros((tq, v.shape[-1]), jnp.float32)
     for h in range(n_head):
         o_h = jax.lax.dot_general(
             s_scr[h].astype(mm_dt), v, (((1,), (0,)), ((), ())),
@@ -115,7 +200,15 @@ def frame_attention(q: Array, k: Array, v: Array, n_head: int,
     assert _V_BLK % hd == 0, "V block must hold whole (h,d) groups"
     io_dt = v.dtype if v.dtype in (jnp.bfloat16, jnp.float32) else jnp.float32
     mm_dt = jnp.bfloat16 if io_dt == jnp.bfloat16 else jnp.float32
+    io_bytes = 2 if io_dt == jnp.bfloat16 else 4
     scale = 1.0 / math.sqrt(e_dim * q_bins)
+
+    tq = _pick_q_tile(t_len, q_bins * he, n_head, io_bytes)
+    assert tq is not None, (
+        f"frame_attention dispatched on a VMEM-unsafe shape "
+        f"(T={t_len}, lanes={q_bins * he}); the model gate "
+        f"(_attn_fast_path_ok) should have routed this to XLA")
+    n_qt = -(-t_len // tq)
 
     qf = q.reshape(b, t_len, q_bins * he).astype(io_dt)
     kf = k.reshape(b, t_len, q_bins * he).astype(io_dt)
@@ -125,25 +218,26 @@ def frame_attention(q: Array, k: Array, v: Array, n_head: int,
     out = pl.pallas_call(
         functools.partial(
             _attn_kernel, n_head=n_head, e_dim=e_dim, d_dim=d_dim,
-            q_bins=q_bins, t_len=t_len, scale=scale, mm_dt=mm_dt),
-        grid=(b, n_vb),
+            q_bins=q_bins, t_len=t_len, tq=tq, scale=scale, mm_dt=mm_dt),
+        grid=(b, n_qt, n_vb),
         in_specs=[
-            pl.BlockSpec((1, t_len, q_bins * he), lambda bi, qt: (bi, 0, 0),
+            pl.BlockSpec((1, tq, q_bins * he), lambda bi, qi, vb: (bi, qi, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, t_len, q_bins * he), lambda bi, qt: (bi, 0, 0),
+            pl.BlockSpec((1, t_len, q_bins * he),
+                         lambda bi, qi, vb: (bi, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, t_len, _V_BLK), lambda bi, qt: (bi, 0, qt),
+            pl.BlockSpec((1, t_len, _V_BLK), lambda bi, qi, vb: (bi, 0, vb),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, t_len, _V_BLK),
-                               lambda bi, qt: (bi, 0, qt),
+        out_specs=pl.BlockSpec((1, tq, _V_BLK),
+                               lambda bi, qi, vb: (bi, qi, vb),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, t_len, q_bins * hd), io_dt),
         scratch_shapes=[
-            pltpu.VMEM((n_head, t_len, t_len), jnp.float32),
+            pltpu.VMEM((n_head, tq, t_len), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary"),
+            dimension_semantics=("parallel", "arbitrary", "arbitrary"),
         ),
         interpret=_use_interpret(),
     )(qf, kf, vf)

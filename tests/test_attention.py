@@ -88,10 +88,41 @@ def test_allhead_norm_lane_stats_matches_reduce(h, e):
 
 def test_gridnetblock_attention_gate():
     """The dispatch gate accepts the production shapes and rejects
-    VMEM-unsafe ones (long T blows the [H, T, T] fp32 scratch)."""
+    VMEM-unsafe ones (long T blows the K/V residency + score scratch)."""
     from fdbm_tpu.models.tfgridnet import _attn_fast_path_ok
 
-    assert _attn_fast_path_ok(32, 262, 256, 2, 4)    # 5l32c100
+    assert _attn_fast_path_ok(32, 262, 256, 2, 4)    # 5l32c100, 4 s bucket
     assert _attn_fast_path_ok(32, 102, 80, 2, 4)     # 4l32c80
-    assert not _attn_fast_path_ok(32, 1000, 256, 2, 4)   # score scratch
+    assert _attn_fast_path_ok(32, 321, 257, 2, 4)    # 8 s folder bucket
+    assert not _attn_fast_path_ok(32, 1000, 256, 2, 4)   # K/V residency
     assert not _attn_fast_path_ok(24, 262, 256, 2, 4)    # 2048 % c != 0
+
+
+def test_frame_attention_q_tiling_regression():
+    """Round-3 folder-sweep failure shape: T=321, Q=257 (8 s bucket,
+    bf16 serving). The full-T kernel requested 17.14 MB of scoped VMEM
+    (measured by the compiler) — the tile chooser must tile the query
+    dim here, stay full-T at the bench shape, and keep numerics exact
+    across the tile boundary (incl. the partial last tile, 321 = 2*128
+    + 65)."""
+    from fdbm_tpu.ops.attention import _pick_q_tile
+
+    assert _pick_q_tile(321, 257 * 8, 4, 2) == 128   # tiles (would OOM)
+    assert _pick_q_tile(262, 256 * 8, 4, 2) == 262   # bench shape: full T
+    assert _pick_q_tile(1000, 256 * 8, 4, 2) is None  # XLA fallback
+
+    b, t, qb, h, e, c = 1, 321, 257, 4, 2, 32
+    rng = np.random.default_rng(3)
+    qf = rng.standard_normal((b, t, qb, h * e)).astype(np.float32)
+    kf = rng.standard_normal((b, t, qb, h * e)).astype(np.float32)
+    vf = rng.standard_normal((b, t, qb, c)).astype(np.float32)
+
+    want = np.asarray(_xla_attention(
+        jnp.asarray(qf), jnp.asarray(kf), jnp.asarray(vf), h, e))
+    out = frame_attention(jnp.asarray(qf, jnp.bfloat16),
+                          jnp.asarray(kf, jnp.bfloat16),
+                          jnp.asarray(vf, jnp.bfloat16), h, e)
+    got = np.asarray(out, np.float32)
+    err = np.linalg.norm(got - want) / np.linalg.norm(want)
+    assert err < 2e-2, f"tiled bf16 frame attention relative error {err}"
+    assert np.isfinite(got).all()
