@@ -46,11 +46,20 @@ class EnhanceStats:
     files: int = 0
     audio_seconds: float = 0.0
     wall_seconds: float = 0.0
+    # Bucket-shape compile/prewarm time, included in wall_seconds.  A
+    # warm persistent cache makes this small; steady_throughput excludes
+    # it so sweeps can report cold and steady-state numbers separately.
+    prewarm_seconds: float = 0.0
     failures: int = 0
 
     @property
     def throughput(self) -> float:
         return self.audio_seconds / self.wall_seconds if self.wall_seconds else 0.0
+
+    @property
+    def steady_throughput(self) -> float:
+        wall = self.wall_seconds - self.prewarm_seconds
+        return self.audio_seconds / wall if wall > 0 else 0.0
 
 
 class BucketedEnhancer:
@@ -349,6 +358,7 @@ def enhance_folder(
     if todo:
         secs = enhancer.prewarm([len(a) for _, a in todo],
                                 batch_sizes=[batch_size])
+        stats.prewarm_seconds = secs
         if progress:
             print(f"prewarmed {len(enhancer._jitted)} bucket shapes "
                   f"in {secs:.0f}s", flush=True)

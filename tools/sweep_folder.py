@@ -74,7 +74,9 @@ def main():
     )
     print(f"files={stats.files} failures={stats.failures} "
           f"audio_s={stats.audio_seconds:.1f} wall_s={stats.wall_seconds:.1f} "
-          f"end-to-end={stats.throughput:.2f} audio-s/s", flush=True)
+          f"prewarm_s={stats.prewarm_seconds:.1f} "
+          f"end-to-end={stats.throughput:.2f} "
+          f"steady={stats.steady_throughput:.2f} audio-s/s", flush=True)
     shutil.rmtree(root)
 
 
