@@ -75,8 +75,19 @@ def main():
             out_dir, "**", "*.trace.json.gz"), recursive=True)):
         with gzip.open(tj, "rt") as fh:
             trace = json.load(fh)
+        # Keep only DEVICE-plane events: the perfetto dump interleaves the
+        # host python/runtime lanes (compile, dispatch, tracing frames)
+        # with the TPU op lanes, and the host lanes dwarf the device ops
+        # if aggregated together. Process-metadata events map pid -> lane
+        # name; device lanes are named like "/device:TPU:0 ...".
+        dev_pids = {
+            e.get("pid") for e in trace.get("traceEvents", [])
+            if e.get("ph") == "M" and e.get("name") == "process_name"
+            and re.search(r"device|TPU|/xla", str(e.get("args", {}).get("name", "")), re.I)
+        }
         events = [e for e in trace.get("traceEvents", [])
-                  if e.get("ph") == "X" and e.get("dur")]
+                  if e.get("ph") == "X" and e.get("dur")
+                  and (not dev_pids or e.get("pid") in dev_pids)]
         agg, cats = {}, {}
         for e in events:
             name = e.get("name", "")
