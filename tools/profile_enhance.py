@@ -75,19 +75,34 @@ def main():
             out_dir, "**", "*.trace.json.gz"), recursive=True)):
         with gzip.open(tj, "rt") as fh:
             trace = json.load(fh)
-        # Keep only DEVICE-plane events: the perfetto dump interleaves the
-        # host python/runtime lanes (compile, dispatch, tracing frames)
-        # with the TPU op lanes, and the host lanes dwarf the device ops
-        # if aggregated together. Process-metadata events map pid -> lane
-        # name; device lanes are named like "/device:TPU:0 ...".
+        # Keep only DEVICE-plane per-op events: the perfetto dump
+        # interleaves the host python/runtime lanes (compile, dispatch,
+        # tracing frames) with the TPU op lanes, and the host lanes dwarf
+        # the device ops if aggregated together. Process-metadata events
+        # map pid -> plane name; device planes start with "/device:"
+        # (matching the documented prefix exactly — a substring match on
+        # "TPU" would pull in host-side "TPU runtime" lanes). Within the
+        # device pid, thread-metadata maps tid -> lane name; we keep only
+        # the "XLA Ops" lane — the "XLA Modules"/"Steps" summary lanes
+        # duplicate the per-op durations and would double-count totals.
+        meta = [e for e in trace.get("traceEvents", []) if e.get("ph") == "M"]
         dev_pids = {
-            e.get("pid") for e in trace.get("traceEvents", [])
-            if e.get("ph") == "M" and e.get("name") == "process_name"
-            and re.search(r"device|TPU|/xla", str(e.get("args", {}).get("name", "")), re.I)
+            e.get("pid") for e in meta
+            if e.get("name") == "process_name"
+            and str(e.get("args", {}).get("name", "")).startswith("/device:")
+        }
+        op_tids = {
+            (e.get("pid"), e.get("tid")) for e in meta
+            if e.get("name") == "thread_name" and e.get("pid") in dev_pids
+            and "XLA Ops" in str(e.get("args", {}).get("name", ""))
         }
         events = [e for e in trace.get("traceEvents", [])
                   if e.get("ph") == "X" and e.get("dur")
-                  and (not dev_pids or e.get("pid") in dev_pids)]
+                  and (e.get("pid"), e.get("tid")) in op_tids]
+        if not events:  # fall back to all device-pid events if no Ops lane
+            events = [e for e in trace.get("traceEvents", [])
+                      if e.get("ph") == "X" and e.get("dur")
+                      and (not dev_pids or e.get("pid") in dev_pids)]
         agg, cats = {}, {}
         for e in events:
             name = e.get("name", "")
