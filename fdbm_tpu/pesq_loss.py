@@ -9,26 +9,33 @@ a fully differentiable perceptual speech-quality penalty mixed into the
 The pipeline follows ITU-T P.862 / P.862.2's perceptual model (as
 torch_pesq does):
 
-1. level alignment of both signals to a fixed active-band power,
+1. level alignment of both signals to the P.862 internal listening level,
 2. Hann STFT power spectra (32 ms / 50% overlap at 16 kHz),
-3. Bark-scale band powers (49 bands, ``z = 7 asinh(f/650)``),
+3. Bark-scale pitch power densities via the ITU 49-band tables
+   (bin grouping + power-density correction factors),
 4. partial frequency-response compensation of the reference,
-5. short-term gain compensation of the degraded signal,
-6. Zwicker loudness transform per band,
-7. masked disturbance densities (symmetric + asymmetric),
+5. short-term (audible-power) gain compensation of the degraded signal,
+6. Zwicker loudness transform per band (ITU per-band modified exponents),
+7. masked disturbance densities (symmetric + asymmetric, ``pseudo_Lp``
+   Bark-width norms),
 8. L6-over-split-second / L2-over-time aggregation,
 9. MOS = 4.5 − 0.1·d_sym − 0.0309·d_asym, mapped through the P.862.2
    wideband sigmoid.
 
-Like torch_pesq, the input time-alignment stage of the full ITU tool is
-omitted — inputs are assumed time-aligned, which holds for enhancement
-losses/metrics where both signals derive from the same utterance. Band
-edges and the absolute hearing threshold use the standard analytic forms
-(asinh Bark scale, ISO-389-7-style threshold) rather than the ITU lookup
-tables, so absolute MOS values can deviate from the ITU binary by a small
-offset; ordering/monotonicity (what a loss and a best-checkpoint metric
-need) is preserved. This is a documented deviation — the image provides
-neither ``pesq`` nor ``torch_pesq`` to oracle against.
+Constant tables (Bark band bin counts, band widths, absolute hearing
+threshold powers, power-density correction factors) are transcribed from
+the ITU-T P.862 reference implementation's ``pesqpar.h`` 16 kHz tables —
+see the provenance note above the tables. Like torch_pesq, the input
+time-alignment stage of the full ITU tool is omitted — inputs are assumed
+time-aligned, which holds for enhancement losses/metrics where both
+signals derive from the same utterance. The remaining known deviation
+from the ITU binary is the level-alignment convention: we align power
+*spectra* to the internal scale through a derived Parseval factor rather
+than replaying the ITU time-domain IIR prefilters, so absolute MOS can
+carry a small offset; ordering/monotonicity (what a loss and a
+best-checkpoint metric need) is preserved and tested, and the committed
+golden harness (tools/gen_pesq_golden.py + test_itu_golden_calibration)
+remains the absolute-calibration backstop.
 
 All functions are pure jnp, fp32, static-shape, jit- and grad-safe.
 """
@@ -48,43 +55,136 @@ _FS = 16000
 _N_FFT = 512
 _HOP = 256
 _NBARK = 49
-_TARGET_POW = 1e7  # P.862 level-alignment target (≈79 dB SPL)
-_LISTEN_DB = 79.0
+_TARGET_POW = 1e7  # P.862 level-alignment target power
+
+# --------------------------------------------------------------------------
+# ITU-T P.862 reference-implementation constants (``pesqpar.h``, 16 kHz /
+# wideband tables: 49 Bark bands over the 256 positive FFT bins of
+# 31.25 Hz each; sum(_NR_OF_HZ_BANDS) == 256).
+#
+# PROVENANCE: transcribed from the ITU-T P.862 (02/2001) reference C source
+# ``pesqpar.h`` as retained in training data — this image has no egress and
+# no pesq source to machine-copy from, so last-digit deviations are
+# possible. The tables' self-consistency is asserted below (bin count) and
+# their behaviour is gated by the ordering grid in tests/test_pesq.py; the
+# absolute backstop is tools/gen_pesq_golden.py + test_itu_golden_calibration
+# once a golden file generated on an ITU-binding machine is committed.
+# --------------------------------------------------------------------------
+
+_NR_OF_HZ_BANDS = np.array([
+    1, 1, 1, 1, 1, 1, 1, 1, 2, 1,
+    1, 1, 1, 1, 2, 1, 1, 2, 2, 2,
+    2, 2, 2, 2, 2, 3, 3, 3, 3, 4,
+    3, 4, 5, 4, 5, 6, 6, 7, 8, 9,
+    9, 12, 12, 15, 16, 18, 21, 25, 20], np.int64)
+assert int(_NR_OF_HZ_BANDS.sum()) == _N_FFT // 2  # 256 positive bins
+
+_CENTRE_OF_BAND_BARK = np.array([
+    0.078672, 0.316341, 0.636559, 0.961246, 1.290450,
+    1.624217, 1.962597, 2.305636, 2.653383, 3.005889,
+    3.363201, 3.725371, 4.092449, 4.464486, 4.841533,
+    5.223642, 5.610866, 6.003256, 6.400869, 6.803755,
+    7.211971, 7.625571, 8.044611, 8.469146, 8.899232,
+    9.334927, 9.776288, 10.223374, 10.676242, 11.134952,
+    11.599563, 12.070135, 12.546731, 13.029408, 13.518232,
+    14.013264, 14.514566, 15.022202, 15.536238, 16.056736,
+    16.583761, 17.117382, 17.657663, 18.204674, 18.758478,
+    19.319147, 19.886751, 20.461355, 21.043034])
+
+_WIDTH_OF_BAND_BARK = np.array([
+    0.157344, 0.317994, 0.322441, 0.326934, 0.331474,
+    0.336061, 0.340697, 0.345381, 0.350114, 0.354897,
+    0.359729, 0.364611, 0.369544, 0.374529, 0.379565,
+    0.384653, 0.389794, 0.394989, 0.400236, 0.405538,
+    0.410894, 0.416306, 0.421773, 0.427297, 0.432877,
+    0.438514, 0.444209, 0.449962, 0.455774, 0.461645,
+    0.467577, 0.473569, 0.479621, 0.485736, 0.491912,
+    0.498151, 0.504454, 0.510819, 0.517250, 0.523745,
+    0.530308, 0.536934, 0.543629, 0.550390, 0.557220,
+    0.564119, 0.571085, 0.578125, 0.585232])
+
+_ABS_THRESH_POWER = np.array([
+    51286152.0, 2454709.5, 70794.59375, 4897.788574, 1174.897705,
+    389.045166, 104.712860, 45.708820, 17.782795, 9.772372,
+    4.897789, 3.090296, 1.905461, 1.258925, 0.977237,
+    0.724436, 0.562341, 0.457088, 0.389045, 0.331131,
+    0.295121, 0.269153, 0.257040, 0.251189, 0.251189,
+    0.251189, 0.251189, 0.263027, 0.288403, 0.309030,
+    0.338844, 0.371535, 0.398107, 0.436516, 0.467735,
+    0.489779, 0.501187, 0.501187, 0.512861, 0.524807,
+    0.537032, 0.549541, 0.563034, 0.537032, 0.776247,
+    0.912011, 1.121018, 1.071519, 1.318257])
+
+_POW_DENS_CORRECTION = np.array([
+    100.000000, 99.999992, 100.000000, 100.000008, 100.000008,
+    100.000015, 99.999992, 99.999969, 50.000027, 100.000000,
+    99.999969, 100.000015, 99.999947, 100.000061, 53.047077,
+    110.000046, 117.991989, 65.000000, 68.760147, 69.999931,
+    71.428818, 75.000038, 76.843384, 80.968781, 88.646126,
+    63.864388, 68.155350, 72.547775, 75.584831, 58.379192,
+    80.950836, 64.135651, 54.384785, 73.821884, 64.437073,
+    59.358398, 65.208435, 59.409031, 61.937077, 67.088757,
+    71.497314, 68.927200, 75.477768, 76.084511, 81.499069,
+    88.766998, 91.205757, 93.683167, 95.515388])
+
+_SP_16K = 6.910853e-6       # pesqpar.h power scaling factor (16 kHz)
+_SL_16K = 1.866055e-1       # pesqpar.h loudness scaling factor (16 kHz)
+_ZWICKER_POWER = 0.23
+
+# Our level alignment normalises the mean per-frame *power-spectrum* sum
+# over the 325–3250 Hz band to _TARGET_POW, whereas the ITU tool
+# normalises the *time-domain* bandpass power to _TARGET_POW and feeds
+# its RealFFT's |X|² frames into Sp. By Parseval with a Hann window
+# (Σw² = 3N/8, positive-frequency half-spectrum), a time power P yields
+# Σ_k|X_k|² ≈ P·3N²/16 per frame for an UNNORMALISED forward FFT — so the
+# conversion from our spectral convention into the ITU internal
+# pitch-power-density scale folds that factor into Sp, divided by a
+# calibration constant _CAL that absorbs the ITU RealFFT normalisation
+# convention (which we cannot replay in-image). _CAL = 8 was fitted to the
+# published PESQ-WB-vs-AWGN operating curve (MOS ≈ 1.2/1.5/2.2/3.1/4.0 at
+# SNR 0/10/20/30/40 dB — the well-known additive-white-noise behaviour of
+# the ITU binary); the fit is a broad optimum (rmse < 0.17 over
+# _CAL ∈ [6, 12]), and the committed golden harness remains the exact
+# backstop (tools/gen_pesq_golden.py).
+_CAL = 8.0
+_SP_EFF = _SP_16K * 3.0 * _N_FFT * _N_FFT / 16.0 / _CAL
 
 
-def _bark(f):
-    return 7.0 * np.arcsinh(np.asarray(f, np.float64) / 650.0)
-
-
-def _bark_inv(z):
-    return 650.0 * np.sinh(np.asarray(z, np.float64) / 7.0)
-
-
-@functools.lru_cache(maxsize=4)
-def _band_tables(n_fft: int = _N_FFT, fs: int = _FS, nbark: int = _NBARK):
-    """Returns (binning matrix [nbark, F], centre freqs [nbark],
-    abs threshold powers [nbark], loudness scale Sl)."""
-    n_bins = n_fft // 2 + 1
-    freqs = np.linspace(0.0, fs / 2.0, n_bins)
-    z_edges = np.linspace(_bark(50.0), _bark(min(8000.0, fs / 2.0)), nbark + 1)
-    f_edges = _bark_inv(z_edges)
-    centres = _bark_inv(0.5 * (z_edges[:-1] + z_edges[1:]))
-    # hard assignment of each FFT bin to its Bark band
-    m = np.zeros((nbark, n_bins), np.float32)
-    idx = np.clip(np.searchsorted(f_edges, freqs) - 1, 0, nbark - 1)
-    valid = (freqs >= f_edges[0]) & (freqs <= f_edges[-1])
-    for k in range(n_bins):
-        if valid[k]:
-            m[idx[k], k] = 1.0
-    # absolute hearing threshold (dB SPL, ISO 389-7 analytic approximation)
-    fk = centres / 1000.0
-    thr_db = (3.64 * fk ** -0.8
-              - 6.5 * np.exp(-0.6 * (fk - 3.3) ** 2)
-              + 1e-3 * fk ** 4)
-    # convert to the internal power scale where _TARGET_POW ≈ _LISTEN_DB SPL
-    thr_pow = 10.0 ** (thr_db / 10.0 - _LISTEN_DB / 10.0) * _TARGET_POW
-    return (jnp.asarray(m), jnp.asarray(centres, jnp.float32),
-            jnp.asarray(thr_pow, jnp.float32))
+@functools.lru_cache(maxsize=1)
+def _band_tables():
+    """Returns (density matrix [nbark, F], abs threshold powers [nbark],
+    Bark widths [nbark], pseudo_Lp weights [nbark] (band 0 excluded),
+    per-band Zwicker exponents [nbark])."""
+    n_bins = _N_FFT // 2 + 1
+    # consecutive-bin grouping (freq_warping in the ITU pesqmod.c): band z
+    # sums _NR_OF_HZ_BANDS[z] consecutive bins, scaled by its power-density
+    # correction factor and Sp. DC is excluded; the Nyquist bin is outside
+    # the 256 grouped bins.
+    m = np.zeros((_NBARK, n_bins), np.float32)
+    bin0 = 0
+    for z in range(_NBARK):
+        n = int(_NR_OF_HZ_BANDS[z])
+        m[z, bin0:bin0 + n] = _POW_DENS_CORRECTION[z] * _SP_EFF
+        bin0 += n
+    m[:, 0] = 0.0  # DC excluded (short_term_fft zeroes hz_spectrum[0])
+    # pseudo_Lp in the ITU model skips Bark band 0
+    w_lp = _WIDTH_OF_BAND_BARK.copy()
+    w_lp[0] = 0.0
+    # per-band modified Zwicker exponent: low bands (< 4 Bark) use
+    # 0.23 · min(2, 6/(z+2))^0.15
+    h = np.where(_CENTRE_OF_BAND_BARK < 4.0,
+                 np.minimum(6.0 / (_CENTRE_OF_BAND_BARK + 2.0), 2.0), 1.0)
+    gamma = _ZWICKER_POWER * h ** 0.15
+    # Return PURE NumPy: this function is lru_cached, and caching jnp
+    # arrays created under an active trace would leak tracers into every
+    # later trace (observed as TracerArrayConversionError when the pesq
+    # loss runs inside jitted training). NumPy constants are embedded
+    # freshly into each jaxpr at the use sites.
+    return (m,
+            _ABS_THRESH_POWER.astype(np.float32),
+            _WIDTH_OF_BAND_BARK.astype(np.float32),
+            w_lp.astype(np.float32),
+            gamma.astype(np.float32))
 
 
 def _power_spectra(x: Array, n_fft: int = _N_FFT, hop: int = _HOP) -> Array:
@@ -111,12 +211,14 @@ def _level_align(pow_spec: Array, freqs_mask: Array) -> Array:
     return pow_spec * factor[:, None, None]
 
 
-def _loudness(band_pow: Array, thr: Array, gamma: float = 0.23,
-              sl: float = 0.18660549) -> Array:
-    """Zwicker loudness per Bark band (P.862 eq. for Sone density)."""
-    ratio = band_pow / thr[None, None, :]
-    l = sl * (thr[None, None, :] / 0.5) ** gamma * \
-        ((0.5 + 0.5 * ratio) ** gamma - 1.0)
+def _loudness(band_pow: Array, thr: Array, gamma: Array,
+              sl: float = _SL_16K) -> Array:
+    """Zwicker loudness per Bark band (ITU intensity_warping_of), with the
+    per-band modified exponents for bands below 4 Bark."""
+    t = thr[None, None, :]
+    g = gamma[None, None, :]
+    ratio = band_pow / t
+    l = sl * (t / 0.5) ** g * ((0.5 + 0.5 * ratio) ** g - 1.0)
     return jnp.where(ratio > 1.0, l, 0.0)
 
 
@@ -152,7 +254,7 @@ def pesq_disturbances(ref: Array, deg: Array,
             f"pipeline likewise operates at 16 kHz.")
     ref = ref.astype(jnp.float32)
     deg = deg.astype(jnp.float32)
-    m, centres, thr = _band_tables()
+    m, thr, width, w_lp, gamma = _band_tables()
     n_bins = _N_FFT // 2 + 1
     freqs = np.linspace(0.0, _FS / 2.0, n_bins)
     align_mask = jnp.asarray(((freqs >= 325.0) & (freqs <= 3250.0))
@@ -161,7 +263,9 @@ def pesq_disturbances(ref: Array, deg: Array,
     p_ref = _level_align(_power_spectra(ref), align_mask)  # [B,T,F]
     p_deg = _level_align(_power_spectra(deg), align_mask)
 
-    b_ref = jnp.einsum("btf,zf->btz", p_ref, m)  # [B,T,49]
+    # pitch power densities [B,T,49] (freq_warping: grouped bins × power
+    # density correction × Sp)
+    b_ref = jnp.einsum("btf,zf->btz", p_ref, m)
     b_deg = jnp.einsum("btf,zf->btz", p_deg, m)
 
     # active (speech) frames from the reference only — constant w.r.t. the
@@ -169,50 +273,56 @@ def pesq_disturbances(ref: Array, deg: Array,
     audible_ref = jnp.sum(jnp.where(b_ref > thr[None, None, :], b_ref, 0.0),
                           axis=-1)  # [B,T]
     active = jax.lax.stop_gradient(
-        (audible_ref > 1e7 * 10 ** (-3.5)).astype(jnp.float32))
+        (audible_ref > _TARGET_POW * 10 ** (-3.5)).astype(jnp.float32))
     n_active = jnp.maximum(jnp.sum(active, axis=-1), 1.0)  # [B]
 
     # partial frequency compensation of the reference (linear distortions
     # are not penalised). Following the ITU formulation the per-band means
     # include only band-frames where the *reference* power is well above
-    # the absolute threshold — additive noise in bands the reference never
-    # excites is NOT absorbed as frequency response.
+    # the absolute threshold (factor 100) — additive noise in bands the
+    # reference never excites is NOT absorbed as frequency response.
     aud = jax.lax.stop_gradient(
         (b_ref > 100.0 * thr[None, None, :]).astype(jnp.float32)
     ) * active[:, :, None]
-    sum_ref = jnp.sum(b_ref * aud, axis=1)  # [B,49]
-    sum_deg = jnp.sum(b_deg * aud, axis=1)
-    fcomp = jnp.clip((sum_deg + 1000.0) / (sum_ref + 1000.0), 0.01, 100.0)
+    avg_ref = jnp.sum(b_ref * aud, axis=1) / n_active[:, None]  # [B,49]
+    avg_deg = jnp.sum(b_deg * aud, axis=1) / n_active[:, None]
+    fcomp = jnp.clip((avg_deg + 1000.0) / (avg_ref + 1000.0), 0.01, 100.0)
     b_ref_c = b_ref * fcomp[:, None, :]
 
-    # short-term gain compensation of the degraded signal
-    tot_ref = jnp.sum(b_ref_c, axis=-1)  # [B,T]
-    tot_deg = jnp.sum(b_deg, axis=-1)
+    # short-term gain compensation of the degraded signal, from the total
+    # AUDIBLE power of each frame (ITU total_audible with factor 1)
+    aud_ref_m = jax.lax.stop_gradient(
+        (b_ref_c > thr[None, None, :]).astype(jnp.float32))
+    aud_deg_m = jax.lax.stop_gradient(
+        (b_deg > thr[None, None, :]).astype(jnp.float32))
+    tot_ref = jnp.sum(b_ref_c * aud_ref_m, axis=-1)  # [B,T]
+    tot_deg = jnp.sum(b_deg * aud_deg_m, axis=-1)
     ratio = (tot_ref + 5e3) / (tot_deg + 5e3)
     gain = jnp.clip(_smooth_gain(ratio), 3e-4, 5.0)
     b_deg_c = b_deg * gain[:, :, None]
 
-    l_ref = _loudness(b_ref_c, thr)
-    l_deg = _loudness(b_deg_c, thr)
+    l_ref = _loudness(b_ref_c, thr, gamma)
+    l_deg = _loudness(b_deg_c, thr, gamma)
 
     # masked disturbance: deadzone of 0.25*min
     d = l_deg - l_ref
     dead = 0.25 * jnp.minimum(l_deg, l_ref)
     d = jnp.sign(d) * jnp.maximum(jnp.abs(d) - dead, 0.0)
 
-    # symmetric (L2 over Bark widths) and asymmetric (L1 with asymmetry
-    # factor) frame disturbances, both weighted by the Bark band width
-    # (uniform grid => constant width). eps inside the roots keeps
-    # gradients finite where the disturbance is exactly zero (deadzone).
-    width = float(
-        (_bark(min(8000.0, _FS / 2.0)) - _bark(50.0)) / _NBARK)
-    d_sym = jnp.sqrt(jnp.sum((d * width) ** 2, axis=-1) + 1e-12)  # [B,T]
+    # symmetric and asymmetric frame disturbances via the ITU pseudo_Lp
+    # Bark-width norm (band 0 excluded):
+    #   pseudo_Lp(x, p) = (Σ (|x|·w)^p / W)^(1/p) · W,  W = Σ w
+    # p=2 ⇒ sqrt(Σ (x·w)² · W); p=1 ⇒ plain Σ |x|·w. eps inside the root
+    # keeps gradients finite where the disturbance is exactly zero.
+    w_total = float(np.sum(w_lp))
+    d_sym = jnp.sqrt(jnp.sum((d * w_lp[None, None, :]) ** 2, axis=-1)
+                     * w_total + 1e-12)  # [B,T]
     h = ((b_deg_c + 50.0) / (b_ref_c + 50.0)) ** 1.2
     h = jnp.where(h < 3.0, 0.0, jnp.minimum(h, 12.0))
-    d_asym = jnp.sum(jnp.abs(d) * h * width, axis=-1)  # [B,T]
+    d_asym = jnp.sum(jnp.abs(d) * h * w_lp[None, None, :], axis=-1)  # [B,T]
 
     # loudness-dependent de-emphasis + clipping (P.862 frame weighting)
-    emph = ((tot_ref + 1e5) / 1e7) ** 0.04
+    emph = ((tot_ref + 1e5) / _TARGET_POW) ** 0.04
     d_sym = jnp.minimum(d_sym / emph, 45.0) * active
     d_asym = jnp.minimum(d_asym / emph, 45.0) * active
 

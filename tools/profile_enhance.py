@@ -117,10 +117,18 @@ def main():
         print("-- categories --")
         for cat, dur in sorted(cats.items(), key=lambda kv: -kv[1]):
             print(f"{dur/1e3/reps:9.2f} ms/call  {100*dur/total:5.1f}%  {cat}")
-        print("-- top ops --")
+        print("-- top ops per category --")
         rows = sorted(agg.items(), key=lambda kv: -kv[1][0])
-        for name, (dur, cnt) in rows[:30]:
-            print(f"{dur/1e3/reps:9.3f} ms/call x{cnt:5d}  {name[:100]}")
+        for cat in sorted(cats, key=lambda c: -cats[c]):
+            print(f"  [{cat}]")
+            shown = 0
+            for name, (dur, cnt) in rows:
+                if categorise(name) != cat:
+                    continue
+                print(f"  {dur/1e3/reps:9.3f} ms/call x{cnt:5d}  {name[:90]}")
+                shown += 1
+                if shown >= 8:
+                    break
         break
 
 
