@@ -368,3 +368,45 @@ def test_ncsnpp_large_presets_match_reference(preset, nf, ch_mult, attn):
     assert out.shape == ref_out.shape
     err = _rel_err(out, ref_out)
     assert err < 1e-4, f"{preset} relative error {err}"
+
+
+@pytest.mark.slow
+def test_sde_ei_production_shape_parity():
+    """SDE-EI at the PRODUCTION config — N=30 steps, 257x256 spec,
+    tfgridnet_5l32c100 ported weights, common noise — vs bridge.py:89-113.
+
+    The toy-shape DNN test above (17x24, N=4) proves the weight math and
+    short-recurrence agreement; this closes the remaining amplification
+    variable (30-step recurrence at full spectral resolution) flagged by
+    the round-3 verdict. Gate: SI-SDR > 40 dB.
+    """
+    from fdbm.backbones.tfgridnet import TFGridNet_5l32c100
+    from fdbm.bridge import Bridge as RefBridge
+
+    torch.manual_seed(13)
+    ref = TFGridNet_5l32c100().eval()
+    flax_model = BackboneRegistry.get_by_name("tfgridnet_5l32c100")()
+    params = tfgridnet_from_torch(state_dict_to_numpy(ref.state_dict()),
+                                  n_layers=5, emb_dim=32)
+    ref_model, jax_model = _model_fns(ref, flax_model, params)
+
+    n_steps, f, t = 30, 257, 256
+    rng = np.random.default_rng(13)
+    y = _cn_noise(rng, (1, 1, f, t)) * 0.3
+    noises = [_cn_noise(rng, y.shape) for _ in range(n_steps + 1)]
+
+    ref_bridge = RefBridge("sb", N=n_steps, sampler_type="sde_ei",
+                           noise_schedule="bb")
+    with _inject_torch_noise(noises):
+        ref_out = ref_bridge.sampler(ref_model, torch.from_numpy(y)).numpy()
+
+    bridge = Bridge.create("sb", N=n_steps, sampler_type="sde_ei",
+                           noise_schedule="bb")
+    out = np.asarray(bridge.sde_sampler_ei(
+        jax_model, jnp.asarray(y), jax.random.PRNGKey(0),
+        noise=jnp.asarray(np.stack(noises))))
+
+    assert out.shape == ref_out.shape
+    err = _rel_err(out, ref_out)
+    si_sdr = -20.0 * np.log10(err + 1e-12)
+    assert si_sdr > 40.0, f"production-shape SI-SDR {si_sdr:.1f} dB"
