@@ -70,7 +70,8 @@ def _pallas_fast_path_ok(c: int, hidden: int) -> bool:
 
 
 def _attn_fast_path_ok(c: int, t_len: int, q_bins: int, e: int,
-                       n_head: int, io_bytes: int = 2) -> bool:
+                       n_head: int, io_bytes: int = 2,
+                       fused_norms: bool = False) -> bool:
     """Gate for the fused frame-attention kernel (ops/attention.py).
 
     Delegates to the kernel's own VMEM estimator (`fast_path_ok`), which
@@ -81,7 +82,7 @@ def _attn_fast_path_ok(c: int, t_len: int, q_bins: int, e: int,
     followed by a 17.14 MB compile-time VMEM OOM at the 8 s bucket)."""
     from fdbm_tpu.ops.attention import fast_path_ok
 
-    return fast_path_ok(c, t_len, q_bins, e, n_head, io_bytes)
+    return fast_path_ok(c, t_len, q_bins, e, n_head, io_bytes, fused_norms)
 
 
 class _RnnPath(nn.Module):
@@ -120,7 +121,7 @@ class _RnnPath(nn.Module):
             # The kernel's out-of-crop rows (0..2 and L..seq-1 along the
             # sequence axis) carry pad contamination — GridNetBlock's olp
             # crop discards exactly those rows (tests/test_gridrnn.py).
-            from fdbm_tpu.ops.gridrnn import grid_rnn_seq1
+            from fdbm_tpu.ops.gridrnn import grid_rnn_seq1_pair
 
             w_ih, w_hh, bias_l = BiLSTM(
                 hidden=self.hidden, dtype=self.dtype, use_pallas=True,
@@ -130,11 +131,15 @@ class _RnnPath(nn.Module):
             h = layer_norm_f32(x, gamma, beta, axis=-1)
             if seq_axis == 2:
                 h = jnp.swapaxes(h, 1, 2)
-            folded = grid_rnn_seq1(
+            # Directional sum + deconv bias + residual in ONE elementwise
+            # pass (the pair return keeps XLA from materialising a
+            # separate outf+outb canvas; device-profiled ~0.7 ms/forward).
+            outf, outb = grid_rnn_seq1_pair(
                 h.astype(self.dtype), w_ih, w_hh, bias_l, wd)
             if seq_axis == 2:
-                folded = jnp.swapaxes(folded, 1, 2)
-            return folded + d_bias.astype(folded.dtype) + residual
+                outf = jnp.swapaxes(outf, 1, 2)
+                outb = jnp.swapaxes(outb, 1, 2)
+            return outf + outb + d_bias.astype(outf.dtype) + residual
 
         h = layer_norm_f32(x, gamma, beta, axis=-1)
 
@@ -199,13 +204,19 @@ class _AllHeadPReLULayerNorm(nn.Module):
     lane_stats: bool = False
 
     @nn.compact
-    def __call__(self, x: Array) -> Array:
-        b, t, q, _ = x.shape
+    def __call__(self, x: Array, return_params: bool = False):
         h, e = self.n_head, self.e_dim
         alpha = self.param("prelu_alpha", lambda k, s: jnp.full(s, 0.25, jnp.float32),
                            (h, 1))
         gamma = self.param("gamma", nn.initializers.ones, (h, e))
         beta = self.param("beta", nn.initializers.zeros, (h, e))
+        if return_params:
+            # Kernel-fusion path: the caller feeds these (with the RAW
+            # projector output) to ops/attention.frame_attention, which
+            # applies the identical PReLU + E-norm in VMEM. Same param
+            # tree either way (checkpoint/weight-port compatible).
+            return alpha, gamma, beta
+        b, t, q, _ = x.shape
 
         if self.lane_stats:
             c = h * e
@@ -278,26 +289,49 @@ class GridNetBlock(nn.Module):
         inter = xp[:, olp : olp + old_t, olp : olp + old_q, :]
 
         # ---- full-band frame self-attention over T -----------------------
-        # lane_stats on the inference fast path: MXU block-diagonal dots
-        # instead of minor-axis-2/8 VPU reduces (see _AllHeadPReLULayerNorm).
-        ls = self.use_pallas
-        q_feat = nn.Dense(h_heads * e, dtype=self.dtype, name="attn_conv_Q")(inter)
-        q_feat = _AllHeadPReLULayerNorm(h_heads, e, lane_stats=ls,
-                                        name="attn_norm_Q")(q_feat)
-        k_feat = nn.Dense(h_heads * e, dtype=self.dtype, name="attn_conv_K")(inter)
-        k_feat = _AllHeadPReLULayerNorm(h_heads, e, lane_stats=ls,
-                                        name="attn_norm_K")(k_feat)
-        v_feat = nn.Dense(c, dtype=self.dtype, name="attn_conv_V")(inter)
-        v_feat = _AllHeadPReLULayerNorm(h_heads, d, lane_stats=ls,
-                                        name="attn_norm_V")(v_feat)
-
         io_bytes = 2 if self.dtype == jnp.bfloat16 else 4
-        if self.use_pallas and _attn_fast_path_ok(c, old_t, old_q, e,
-                                                  h_heads, io_bytes):
-            # Inference fast path: scores, softmax and the value
-            # contraction run in VMEM — the [B,H,T,T] score tensor never
-            # round-trips HBM (3 full trips on the XLA path, several
-            # ms/forward of memory glue; ops/attention.py docstring).
+        fused_attn = self.use_pallas and _attn_fast_path_ok(
+            c, old_t, old_q, e, h_heads, io_bytes, fused_norms=True)
+        q_feat = nn.Dense(h_heads * e, dtype=self.dtype, name="attn_conv_Q")(inter)
+        k_feat = nn.Dense(h_heads * e, dtype=self.dtype, name="attn_conv_K")(inter)
+        v_feat = nn.Dense(c, dtype=self.dtype, name="attn_conv_V")(inter)
+        if fused_attn:
+            # Inference fast path: PReLU + per-head E-norm, scores,
+            # softmax and the value contraction all run in VMEM — the
+            # norm passes over 16x-lane-padded [.., H*E=8] feature maps
+            # and the [B,H,T,T] score HBM round-trips both vanish
+            # (~640 ms + several ms/forward of the 30-step enhance;
+            # ops/attention.py docstring).
+            from fdbm_tpu.ops.attention import frame_attention
+
+            norm_params = tuple(
+                _AllHeadPReLULayerNorm(h_heads, ed, name=f"attn_norm_{nm}")(
+                    None, return_params=True)
+                for nm, ed in (("Q", e), ("K", e), ("V", d)))
+            out = frame_attention(
+                q_feat.reshape(b, old_t, old_q, h_heads * e),
+                k_feat.reshape(b, old_t, old_q, h_heads * e),
+                v_feat.reshape(b, old_t, old_q, c), h_heads, e,
+                norms=norm_params)
+        else:
+            # lane_stats on the (non-fused) inference fast path: MXU
+            # block-diagonal dots instead of minor-axis-2/8 VPU reduces
+            # (see _AllHeadPReLULayerNorm).
+            ls = self.use_pallas
+            q_feat = _AllHeadPReLULayerNorm(h_heads, e, lane_stats=ls,
+                                            name="attn_norm_Q")(q_feat)
+            k_feat = _AllHeadPReLULayerNorm(h_heads, e, lane_stats=ls,
+                                            name="attn_norm_K")(k_feat)
+            v_feat = _AllHeadPReLULayerNorm(h_heads, d, lane_stats=ls,
+                                            name="attn_norm_V")(v_feat)
+
+        if fused_attn:
+            pass
+        elif self.use_pallas and _attn_fast_path_ok(c, old_t, old_q, e,
+                                                    h_heads, io_bytes):
+            # Norm-outside fallback of the fused kernel (kept for shapes
+            # where the fused-norm VMEM estimate rejects but the plain
+            # kernel fits).
             from fdbm_tpu.ops.attention import frame_attention
 
             out = frame_attention(

@@ -119,17 +119,127 @@ def _pick_q_tile(t_len: int, qk_lanes: int, n_head: int,
 
 
 def fast_path_ok(c: int, t_len: int, q_bins: int, e: int,
-                 n_head: int, io_bytes: int = 2) -> bool:
+                 n_head: int, io_bytes: int = 2,
+                 fused_norms: bool = False) -> bool:
     """True when the fused kernel can run this shape within VMEM.
 
     The model's dispatch gate (models/tfgridnet._attn_fast_path_ok)
     delegates here so gating and kernel sizing share one estimator.
     ``2048 % c == 0`` keeps whole (h, d) output groups inside one V/O
-    lane block (the kernel's head-select masks rely on it).
+    lane block (the kernel's head-select masks rely on it). Fused norms
+    (PReLU + per-head E-norm applied by the flat-layout norm kernel on
+    the way in — see flat_group_norm) additionally require power-of-two
+    group widths for the group-stats butterfly; they run in a separate
+    pallas_call, so the attention kernel's VMEM sizing is unchanged.
     """
+    d = c // n_head
+    if fused_norms and not (
+            e > 0 and d > 0 and e & (e - 1) == 0 and d & (d - 1) == 0):
+        return False
     return (c > 0 and _V_BLK % c == 0 and
             _pick_q_tile(t_len, q_bins * n_head * e, n_head, io_bytes)
             is not None)
+
+
+def _norm_kernel(x_ref, nrm_ref, o_ref, *, width: int):
+    o_ref[0] = _prelu_norm(x_ref[0], nrm_ref, width).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("width",))
+def flat_group_norm(x: Array, alpha: Array, gamma: Array, beta: Array,
+                    width: int) -> Array:
+    """PReLU + per-group affine norm on a FLAT [B, T, L] feature map.
+
+    Semantics match _AllHeadPReLULayerNorm applied to the [B, T, Q, H*w]
+    view of ``x`` (stats over each head's ``w`` lanes, fp32, biased
+    variance, eps 1e-5): L = Q*H*w, groups are aligned lane runs of
+    ``width`` (power of two), and alpha/gamma/beta are the module's
+    [H,1] / [H,w] / [H,w] parameters, tiled here to per-lane vectors.
+
+    Why a kernel: the [B, T, Q, 8] layout XLA materialises for the Q/K
+    feature maps is 16x lane-padded (minor dim 8 -> 128 lanes) and the V
+    map 4x, so any XLA-side norm pays padded bandwidth on every pass —
+    device-profiled at ~640 ms of the 4.8 s 30-step enhance program. The
+    flat layout is <6% padded and the whole norm is one read+write.
+    """
+    b, t_len, lanes = x.shape
+    assert width & (width - 1) == 0, "group width must be a power of two"
+    assert lanes % width == 0
+    io_dt = x.dtype if x.dtype in (jnp.bfloat16, jnp.float32) else jnp.float32
+    n_grp = lanes // width
+    per = jnp.broadcast_to(jnp.asarray(alpha, jnp.float32).reshape(-1, 1),
+                           (jnp.asarray(alpha).size, width)).reshape(-1)
+    a_l = jnp.tile(per, n_grp * width // per.size)[:lanes]
+    g_l = jnp.tile(jnp.asarray(gamma, jnp.float32).reshape(-1),
+                   lanes // jnp.asarray(gamma).size)
+    b_l = jnp.tile(jnp.asarray(beta, jnp.float32).reshape(-1),
+                   lanes // jnp.asarray(beta).size)
+    nrm = jnp.stack([a_l, g_l, b_l])
+
+    # Row tile: 32 rows x lanes fp32 temporaries (~4 live in the
+    # butterfly) stay well under the scoped-VMEM budget even at the
+    # production V width (8224 lanes: ~4.2 MB).
+    tile_t = min(32, _pad8(t_len))
+    n_t = -(-t_len // tile_t)
+
+    out = pl.pallas_call(
+        functools.partial(_norm_kernel, width=width),
+        grid=(b, n_t),
+        in_specs=[
+            pl.BlockSpec((1, tile_t, lanes), lambda bi, ti: (bi, ti, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, lanes), lambda bi, ti: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tile_t, lanes), lambda bi, ti: (bi, ti, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, t_len, lanes), io_dt),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
+        interpret=_use_interpret(),
+    )(x.astype(io_dt), nrm)
+    return out
+
+
+def _group_mean(x: Array, width: int) -> Array:
+    """Per-aligned-lane-group mean over groups of ``width`` lanes (power
+    of two) via an XOR-butterfly of lane rolls: after stage k every lane
+    holds the sum over its 2k-aligned group, so log2(width) stages leave
+    every lane with its full group sum — no cross-lane layout change,
+    pure VPU work."""
+    lanes = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1)
+    ax = x.ndim - 1
+    roll = pltpu.roll  # native cyclic lane rotate (one VPU op per stage)
+    s = x
+    k = 1
+    while k < width:
+        take_left = lanes % (2 * k) < k  # partner is lane + k
+        s = s + jnp.where(take_left, roll(s, -k % s.shape[ax], ax),
+                          roll(s, k, ax))
+        k *= 2
+    return s * (1.0 / width)
+
+
+def _prelu_norm(x: Array, nrm_ref, width: int, eps: float = 1e-5) -> Array:
+    """PReLU + per-head affine E-norm on a flat [rows, lanes] block, fp32.
+
+    ``nrm_ref`` rows: 0 = per-lane PReLU alpha, 1 = gamma, 2 = beta
+    (period H*E over the lane axis, pre-tiled by the caller). Matches
+    _AllHeadPReLULayerNorm exactly: biased TWO-PASS variance over each
+    head's E lanes (E[x^2]-mu^2 loses ~1e-4 relative to fp32
+    cancellation when a width-2 group is nearly equal), fp32 statistics,
+    eps inside the rsqrt.
+    """
+    a = nrm_ref[0][None, :]
+    g = nrm_ref[1][None, :]
+    b = nrm_ref[2][None, :]
+    x = x.astype(jnp.float32)
+    x = jnp.where(x >= 0, x, a * x)
+    mu = _group_mean(x, width)
+    xc = x - mu
+    var = _group_mean(xc * xc, width)
+    return xc * jax.lax.rsqrt(var + eps) * g + b
 
 
 def _attn_kernel(q_ref, k_ref, v_ref, o_ref, s_scr, *, n_head: int,
@@ -179,14 +289,22 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, s_scr, *, n_head: int,
 
 @functools.partial(jax.jit, static_argnames=("n_head", "e_dim"))
 def frame_attention(q: Array, k: Array, v: Array, n_head: int,
-                    e_dim: int) -> Array:
+                    e_dim: int, norms=None) -> Array:
     """Fused multi-head frame attention on flat head-minor layouts.
 
     Args:
-      q, k: [B, T, Q, H*E] query/key features (already PReLU+normed).
+      q, k: [B, T, Q, H*E] query/key features.
       v: [B, T, Q, H*D] value features (D = C // H).
       n_head: H; e_dim: E. Scale is 1/sqrt(E*Q) (reference
         tfgridnet.py:407).
+      norms: optional ((a,g,b), (a,g,b), (a,g,b)) PReLU-alpha / gamma /
+        beta for q, k, v — each with H*E (H*D for v) per-channel values.
+        When given, q/k/v are RAW projector outputs and PReLU + per-head
+        E-norm (_AllHeadPReLULayerNorm semantics) run on the FLAT
+        layouts via flat_group_norm before the attention kernel. This
+        removes the norm passes over feature maps whose minor dim (8 for
+        q/k at the production config) is 16x lane-padded —
+        device-profiled at ~640 ms of the 4.8 s 30-step enhance program.
 
     Returns:
       [B, T, Q, H*D]: per-head softmax(QK^T/sqrt(E*Q)) @ V with the
@@ -213,6 +331,10 @@ def frame_attention(q: Array, k: Array, v: Array, n_head: int,
     qf = q.reshape(b, t_len, q_bins * he).astype(io_dt)
     kf = k.reshape(b, t_len, q_bins * he).astype(io_dt)
     vf = v.reshape(b, t_len, q_bins * hd).astype(io_dt)
+    if norms is not None:
+        qf = flat_group_norm(qf, *norms[0], width=e_dim)
+        kf = flat_group_norm(kf, *norms[1], width=e_dim)
+        vf = flat_group_norm(vf, *norms[2], width=d_dim)
     n_vb = -(-(q_bins * hd) // _V_BLK)
 
     out = pl.pallas_call(

@@ -58,6 +58,17 @@ class Bridge:
     # is re-used N times either way at runtime.
     unroll_threshold: int = 64
 
+    def _unroll(self) -> int:
+        """Scan unroll factor: full unroll on TPU (XLA while-loops
+        compile in minutes there — unroll_threshold docstring), ROLLED on
+        CPU, where the tradeoff inverts: a rolled scan compiles fast and
+        the unrolled 30-step body (450+ pallas_call instances in the
+        production program) drove XLA:CPU into multi-ten-minute compiles
+        (observed on the 8-device dryrun after the round-4 kernels)."""
+        if jax.default_backend() == "cpu":
+            return 1
+        return self.N if self.N <= self.unroll_threshold else 1
+
     @classmethod
     def create(cls, bridge: str, N: int = 5, T: float = 1.0,
                sampler_type: str = "ode_ei", sampling_eps: float = 1e-4, **kwargs):
@@ -131,8 +142,8 @@ class Bridge:
                 + wy.astype(jnp.complex64) * y
             return x, None
 
-        unroll = self.N if self.N <= self.unroll_threshold else 1
-        x, _ = lax.scan(step, x0, (w_xt, w_s, w_y, t_prev), unroll=unroll)
+        x, _ = lax.scan(step, x0, (w_xt, w_s, w_y, t_prev),
+                        unroll=self._unroll())
         return x
 
     def sde_sampler_ei(self, model_fn: ModelFn, y: Array, key: jax.Array,
@@ -167,9 +178,8 @@ class Bridge:
                 + wz.astype(jnp.complex64) * z
             return x, None
 
-        unroll = self.N if self.N <= self.unroll_threshold else 1
         x, _ = lax.scan(step, x0, (w_xt, w_s, w_z, t_prev, zs),
-                        unroll=unroll)
+                        unroll=self._unroll())
         return x
 
     def pc_sampler(
@@ -275,10 +285,9 @@ class Bridge:
             x, x_mean = predictor_update(x, t_vec, stepsize, per)
             return (x, x_mean), None
 
-        unroll = self.N if self.N <= self.unroll_threshold else 1
         (x, x_mean), _ = lax.scan(step, (x0, x0),
                                   (timesteps, stepsizes, step_zs),
-                                  unroll=unroll)
+                                  unroll=self._unroll())
         return x_mean if denoise else x
 
     def ode_sampler_int(

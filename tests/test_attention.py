@@ -126,3 +126,57 @@ def test_frame_attention_q_tiling_regression():
     err = np.linalg.norm(got - want) / np.linalg.norm(want)
     assert err < 2e-2, f"tiled bf16 frame attention relative error {err}"
     assert np.isfinite(got).all()
+
+
+@pytest.mark.parametrize("h,e,qb", [(4, 2, 7), (4, 8, 5)])
+def test_flat_group_norm_matches_module(h, e, qb):
+    """flat_group_norm on the flat [B,T,Q*H*E] layout == the
+    _AllHeadPReLULayerNorm module on the [B,T,Q,H*E] view."""
+    from fdbm_tpu.models.tfgridnet import _AllHeadPReLULayerNorm
+    from fdbm_tpu.ops.attention import flat_group_norm
+
+    rng = np.random.default_rng(4)
+    b, t = 2, 11
+    x = jnp.asarray(rng.standard_normal((b, t, qb, h * e)), jnp.float32)
+    mod = _AllHeadPReLULayerNorm(h, e)
+    params = mod.init(jax.random.PRNGKey(0), x)
+    params = jax.tree.map(
+        lambda p: p + 0.1 * jnp.arange(p.size, dtype=p.dtype).reshape(p.shape),
+        params)
+    want = np.asarray(mod.apply(params, x)).reshape(b, t, qb * h * e)
+    p = params["params"]
+    got = np.asarray(flat_group_norm(
+        x.reshape(b, t, qb * h * e), p["prelu_alpha"], p["gamma"], p["beta"],
+        width=e))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_frame_attention_fused_norms_matches_unfused():
+    """frame_attention(norms=...) on RAW projector outputs == PReLU+norm
+    modules followed by frame_attention — the production fused path."""
+    from fdbm_tpu.models.tfgridnet import _AllHeadPReLULayerNorm
+
+    b, t, qb, h, e, c = 1, 37, 33, 4, 2, 32
+    d = c // h
+    rng = np.random.default_rng(5)
+    q = jnp.asarray(rng.standard_normal((b, t, qb, h * e)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, t, qb, h * e)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, t, qb, c)), jnp.float32)
+
+    mods = [_AllHeadPReLULayerNorm(h, e), _AllHeadPReLULayerNorm(h, e),
+            _AllHeadPReLULayerNorm(h, d)]
+    keys = jax.random.split(jax.random.PRNGKey(1), 3)
+    all_params = [m.init(kk, xx) for m, kk, xx in zip(mods, keys, (q, k, v))]
+    all_params = [jax.tree.map(
+        lambda p: p + 0.07 * jnp.arange(p.size, dtype=p.dtype).reshape(p.shape),
+        pp) for pp in all_params]
+
+    qn = mods[0].apply(all_params[0], q).reshape(b, t, qb, h * e)
+    kn = mods[1].apply(all_params[1], k).reshape(b, t, qb, h * e)
+    vn = mods[2].apply(all_params[2], v).reshape(b, t, qb, c)
+    want = np.asarray(frame_attention(qn, kn, vn, h, e))
+
+    norms = tuple((pp["params"]["prelu_alpha"], pp["params"]["gamma"],
+                   pp["params"]["beta"]) for pp in all_params)
+    got = np.asarray(frame_attention(q, k, v, h, e, norms=norms))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
