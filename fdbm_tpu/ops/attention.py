@@ -56,18 +56,22 @@ from fdbm_tpu.ops.lstm import _use_interpret
 
 Array = jnp.ndarray
 
-# V/O lanes per grid step. 2048 lanes x 256 frames is 1 MB bf16 / 2 MB
-# fp32 per stream.
+# Default V/O lanes per grid step. 2048 lanes x 256 frames is 1 MB bf16 /
+# 2 MB fp32 per stream. Long sequences step down the ladder below to trade
+# more vb grid steps for smaller resident V/O blocks.
 _V_BLK = 2048
+_V_BLK_LADDER = (2048, 1024, 512)
 
 # Scoped-VMEM budget the tile chooser sizes against — a threshold on the
-# ESTIMATE, anchored on four compiler-measured points (round-3 folder
-# sweep + probes on the v5e):
-#   T=262 full-T   compiled+ran   -> estimate 15.0 MiB (must accept)
-#   T=321 tq=128   compiled+ran   -> estimate 12.2 MiB (must accept)
-#   T=328 full-T   OOM, 17.14 MiB -> estimate 19.0 MiB (must reject)
-#   T=513 tq=128   OOM, 16.76 MiB -> estimate 16.9 MiB (must reject)
-# 16 MiB separates every accept from every reject.
+# ESTIMATE, anchored on five compiler-measured points (round-3 folder
+# sweep + probes, round-4 120-file sweep, on the v5e). With the v_stage
+# term (added after the round-4 sweep OOM; see _vmem_estimate):
+#   T=262 full-T  v2048  compiled+ran   -> estimate 15.4 MiB (must accept)
+#   T=321 tq=128  v2048  compiled+ran   -> estimate 13.0 MiB (must accept)
+#   T=328 full-T  v2048  OOM, 17.14 MiB -> estimate 20.3 MiB (must reject)
+#   T=513 tq=128  v2048  OOM, 16.76 MiB -> estimate 19.0 MiB (must reject)
+#   T=577 tq=64   v2048  OOM, 16.28 MiB -> estimate 16.9 MiB (must reject)
+# 16 MiB separates every accept (<=15.4) from every reject (>=16.9).
 _VMEM_BUDGET = 16 * 2**20
 
 
@@ -80,41 +84,55 @@ def _pad128(x: int) -> int:
 
 
 def _vmem_estimate(tq: int, t_len: int, qk_lanes: int, n_head: int,
-                   io_bytes: int) -> int:
+                   io_bytes: int, v_blk: int = _V_BLK) -> int:
     """Scoped-VMEM bytes for one grid cell at query-tile size ``tq``.
 
     Counts the Mosaic-allocated window buffers (Q tile, K full, V/O
     lane-blocks — V and O double-buffered because their index advances
     with the fastest grid dim; Q double-buffered only when it advances,
     i.e. when tiled), the fp32 score scratch [H, tq, T], the kernel-body
-    fp32 temporaries (two [tq, _V_BLK] value-side arrays and one [tq, T]
-    score row-block), and an fp32 [lanes, T] staging copy of K for the
+    fp32 temporaries (two [tq, v_blk] value-side arrays and one [tq, T]
+    score row-block), an fp32 [lanes, T] staging copy of K for the
     lane-contraction score dot (the MXU contracts the RHS over sublanes,
     so Mosaic re-lays K out transposed; without this term the estimate
-    ran 4.3 MiB below the compiler's measured 16.76 MiB at T=513).
+    ran 4.3 MiB below the compiler's measured 16.76 MiB at T=513), and
+    an io-dtype staging copy of the V block for the value dot (same RHS
+    sublane-contraction staging; without it the estimate ran 1.6 MiB
+    below the compiler's measured 16.28 MiB at the round-4 sweep's
+    T=577 tq=64 OOM).
     """
     t_p, tq_p = _pad8(t_len), _pad8(tq)
     ql = _pad128(qk_lanes)
     sl = _pad128(t_len)
     q_blk = tq_p * ql * io_bytes * (2 if tq < t_len else 1)
-    k_blk = t_p * ql * io_bytes
-    v_blk = 2 * t_p * _V_BLK * io_bytes
-    o_blk = 2 * tq_p * _V_BLK * io_bytes
+    k_b = t_p * ql * io_bytes
+    v_b = 2 * t_p * v_blk * io_bytes
+    o_blk = 2 * tq_p * v_blk * io_bytes
     scr = n_head * tq_p * sl * 4
-    tmp = 2 * tq_p * _V_BLK * 4 + tq_p * sl * 4
+    tmp = 2 * tq_p * v_blk * 4 + tq_p * sl * 4
     k_stage = t_p * ql * 4
-    return q_blk + k_blk + v_blk + o_blk + scr + tmp + k_stage
+    v_stage = t_p * v_blk * io_bytes
+    return q_blk + k_b + v_b + o_blk + scr + tmp + k_stage + v_stage
 
 
 def _pick_q_tile(t_len: int, qk_lanes: int, n_head: int,
-                 io_bytes: int) -> int | None:
-    """Largest query tile from the ladder that fits the VMEM budget,
-    or None when even the smallest doesn't (caller falls back to XLA)."""
-    for tq in (t_len, 256, 128, 64):
-        if tq > t_len:
+                 io_bytes: int, hd: int = 32):
+    """Largest (query tile, V lane-block) pair from the ladder that fits
+    the VMEM budget, or None when even the smallest doesn't (caller falls
+    back to XLA). V-block candidates must hold whole (h, d) output groups
+    (the kernel's head-select masks rely on it)."""
+    # V-block OUTER: exhaust the query-tile ladder at the default V block
+    # first so shapes that fit it keep their compiler-validated configs;
+    # smaller V blocks (more vb grid steps) are a long-sequence fallback.
+    for vb in _V_BLK_LADDER:
+        if hd and vb % hd:
             continue
-        if _vmem_estimate(tq, t_len, qk_lanes, n_head, io_bytes) <= _VMEM_BUDGET:
-            return tq
+        for tq in (t_len, 256, 128, 64):
+            if tq > t_len:
+                continue
+            if _vmem_estimate(tq, t_len, qk_lanes, n_head, io_bytes,
+                              vb) <= _VMEM_BUDGET:
+                return tq, vb
     return None
 
 
@@ -136,9 +154,9 @@ def fast_path_ok(c: int, t_len: int, q_bins: int, e: int,
     if fused_norms and not (
             e > 0 and d > 0 and e & (e - 1) == 0 and d & (d - 1) == 0):
         return False
-    return (c > 0 and _V_BLK % c == 0 and
-            _pick_q_tile(t_len, q_bins * n_head * e, n_head, io_bytes)
-            is not None)
+    return (c > 0 and
+            _pick_q_tile(t_len, q_bins * n_head * e, n_head, io_bytes,
+                         hd=c) is not None)
 
 
 def _norm_kernel(x_ref, nrm_ref, o_ref, *, width: int):
@@ -176,10 +194,12 @@ def flat_group_norm(x: Array, alpha: Array, gamma: Array, beta: Array,
                    lanes // jnp.asarray(beta).size)
     nrm = jnp.stack([a_l, g_l, b_l])
 
-    # Row tile: 32 rows x lanes fp32 temporaries (~4 live in the
-    # butterfly) stay well under the scoped-VMEM budget even at the
-    # production V width (8224 lanes: ~4.2 MB).
-    tile_t = min(32, _pad8(t_len))
+    # Row tile: size against ~5 live [tile_t, lanes] fp32 butterfly
+    # temporaries within a ~10 MB scoped-VMEM budget — the fixed tile 32
+    # was grid-overhead-bound (128 grid cells for the production V map;
+    # device-profiled 0.47 ms/call vs a ~0.17 ms bandwidth floor).
+    budget = 10 * 2**20
+    tile_t = max(8, min(_pad8(t_len), budget // (5 * lanes * 4) // 8 * 8))
     n_t = -(-t_len // tile_t)
 
     out = pl.pallas_call(
@@ -315,17 +335,18 @@ def frame_attention(q: Array, k: Array, v: Array, n_head: int,
     assert he == n_head * e_dim
     hd = v.shape[-1]
     d_dim = hd // n_head
-    assert _V_BLK % hd == 0, "V block must hold whole (h,d) groups"
     io_dt = v.dtype if v.dtype in (jnp.bfloat16, jnp.float32) else jnp.float32
     mm_dt = jnp.bfloat16 if io_dt == jnp.bfloat16 else jnp.float32
     io_bytes = 2 if io_dt == jnp.bfloat16 else 4
     scale = 1.0 / math.sqrt(e_dim * q_bins)
 
-    tq = _pick_q_tile(t_len, q_bins * he, n_head, io_bytes)
-    assert tq is not None, (
+    picked = _pick_q_tile(t_len, q_bins * he, n_head, io_bytes, hd=hd)
+    assert picked is not None, (
         f"frame_attention dispatched on a VMEM-unsafe shape "
         f"(T={t_len}, lanes={q_bins * he}); the model gate "
         f"(_attn_fast_path_ok) should have routed this to XLA")
+    tq, v_blk = picked
+    assert v_blk % hd == 0, "V block must hold whole (h,d) groups"
     n_qt = -(-t_len // tq)
 
     qf = q.reshape(b, t_len, q_bins * he).astype(io_dt)
@@ -335,7 +356,7 @@ def frame_attention(q: Array, k: Array, v: Array, n_head: int,
         qf = flat_group_norm(qf, *norms[0], width=e_dim)
         kf = flat_group_norm(kf, *norms[1], width=e_dim)
         vf = flat_group_norm(vf, *norms[2], width=d_dim)
-    n_vb = -(-(q_bins * hd) // _V_BLK)
+    n_vb = -(-(q_bins * hd) // v_blk)
 
     out = pl.pallas_call(
         functools.partial(
@@ -348,10 +369,10 @@ def frame_attention(q: Array, k: Array, v: Array, n_head: int,
             pl.BlockSpec((1, t_len, q_bins * he),
                          lambda bi, qi, vb: (bi, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, t_len, _V_BLK), lambda bi, qi, vb: (bi, 0, vb),
+            pl.BlockSpec((1, t_len, v_blk), lambda bi, qi, vb: (bi, 0, vb),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, tq, _V_BLK),
+        out_specs=pl.BlockSpec((1, tq, v_blk),
                                lambda bi, qi, vb: (bi, qi, vb),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, t_len, q_bins * hd), io_dt),

@@ -107,9 +107,13 @@ def test_frame_attention_q_tiling_regression():
     + 65)."""
     from fdbm_tpu.ops.attention import _pick_q_tile
 
-    assert _pick_q_tile(321, 257 * 8, 4, 2) == 128   # tiles (would OOM)
-    assert _pick_q_tile(262, 256 * 8, 4, 2) == 262   # bench shape: full T
+    assert _pick_q_tile(321, 257 * 8, 4, 2)[0] == 128  # tiles (would OOM)
+    assert _pick_q_tile(262, 256 * 8, 4, 2) == (262, 2048)  # bench: full T
     assert _pick_q_tile(1000, 256 * 8, 4, 2) is None  # XLA fallback
+    # round-4 sweep calibration: T=577 tq=64 v2048 OOM'd at a measured
+    # 16.28 MiB; the ladder must step the V block down instead
+    got = _pick_q_tile(577, 257 * 8, 4, 2)
+    assert got is not None and got[1] < 2048, got
 
     b, t, qb, h, e, c = 1, 321, 257, 4, 2, 32
     rng = np.random.default_rng(3)
