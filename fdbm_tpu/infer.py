@@ -130,6 +130,30 @@ class BucketedEnhancer:
             self._jitted[length] = fn
         return fn
 
+    def plan(self, lengths: Sequence[int]) -> List[Tuple[int, List[int]]]:
+        """Sorted-packing schedule: files in DESCENDING length order, packed
+        into consecutive groups of ``batch_size``; each group's bucket is
+        its longest member's snapped length.
+
+        Against per-bucket packing this keeps every batch full (the only
+        partial batch is the global remainder, deliberately placed on the
+        SHORTEST files where zero rows are cheapest) while the in-group
+        padding stays small because sorted neighbours have similar
+        lengths — the round-4 120-file sweep measured per-bucket packing
+        at 69% dispatched-row utilisation (10 batches, 4 of them
+        fractionally filled) vs 85% for this plan with the SAME four
+        compiled bucket shapes. Grouping is order-stable, so any caller
+        that chunks a descending-sorted file list at multiples of
+        batch_size (enhance_folder does) gets chunk-local plans whose
+        groups coincide with the global plan — prewarm can therefore
+        compile exactly the shapes the sweep will use."""
+        order = sorted(range(len(lengths)), key=lambda i: -lengths[i])
+        sched: List[Tuple[int, List[int]]] = []
+        for s in range(0, len(order), self.batch_size):
+            grp = order[s : s + self.batch_size]
+            sched.append((self._bucket_length(lengths[grp[0]]), grp))
+        return sched
+
     def prewarm(self, lengths: Sequence[int],
                 batch_sizes: Optional[Sequence[int]] = None) -> float:
         """Compile all (bucket length, batch) shapes CONCURRENTLY.
@@ -158,7 +182,8 @@ class BucketedEnhancer:
             # trigger trace+compile; result discarded
             fn(self.params, dummy, key).block_until_ready()
 
-        jobs = [(self._bucket_length(l), bs) for l in lengths for bs in sizes]
+        jobs = [(blen, bs) for blen, _ in self.plan(list(lengths))
+                for bs in sizes]
         jobs = sorted(set(jobs))
         with ThreadPoolExecutor(max_workers=min(8, len(jobs) or 1)) as pool:
             list(pool.map(compile_one, jobs))
@@ -205,18 +230,12 @@ class BucketedEnhancer:
                                                 max_len)
             return out_all  # type: ignore[return-value]
 
-        buckets: Dict[int, List[int]] = {}
-        for i, a in enumerate(audios):
-            buckets.setdefault(self._bucket_length(len(a)), []).append(i)
-
-        # One job per (bucket, batch chunk); always run at the full batch
-        # shape (zero rows, outputs discarded): one compiled program per
-        # bucket instead of one per (bucket, remainder) pair — compiles
-        # cost minutes on this toolchain, wasted rows cost milliseconds.
-        schedule: List[Tuple[int, List[int]]] = []
-        for blen, idxs in sorted(buckets.items()):
-            for s in range(0, len(idxs), self.batch_size):
-                schedule.append((blen, idxs[s : s + self.batch_size]))
+        # Sorted-packing schedule (see plan): full batches, descending
+        # lengths, one compiled program per distinct snapped group-max.
+        # Batches always run at the full batch shape (zero rows, outputs
+        # discarded) — compiles cost minutes on this toolchain, wasted
+        # rows cost milliseconds.
+        schedule = self.plan([len(a) for a in audios])
 
         out: List[Optional[np.ndarray]] = [None] * len(audios)
 
@@ -369,7 +388,10 @@ def enhance_folder(
     # between the folder sweep and the steady-state bench, BENCH_NOTES r2).
     from concurrent.futures import ThreadPoolExecutor
 
-    order = sorted(range(len(todo)), key=lambda i: len(todo[i][1]))
+    # DESCENDING, so each chunk's sorted-packing plan (enhance_many)
+    # reproduces a slice of the global plan prewarm compiled for —
+    # chunk boundaries are multiples of batch_size.
+    order = sorted(range(len(todo)), key=lambda i: -len(todo[i][1]))
     chunk_size = batch_size * 16
     done = 0
 

@@ -120,3 +120,32 @@ def test_evaluate_files_streams_in_bounded_chunks(tmp_path, monkeypatch):
     assert calls == [4, 4, 2]
     assert counts["si_sdr"] == n_files
     assert np.isfinite(out["si_sdr"])
+
+
+def test_sorted_packing_plan():
+    """BucketedEnhancer.plan: descending groups of batch_size, bucket =
+    snapped group max, remainder on the shortest files, order-stable
+    grouping (round-4 sweep: per-bucket packing wasted 31% of dispatched
+    rows; sorted packing 15% with the same compiled shapes)."""
+    import jax.numpy as jnp
+    from fdbm_tpu.infer import BucketedEnhancer
+    from fdbm_tpu.model import FDBM, FDBMConfig
+
+    cfg = FDBMConfig(mode="generative", backbone="tfgridnet_4l32c80",
+                     bridge="sb", noise_schedule="bb", sampler_type="sde_ei",
+                     N=2, n_fft=128, hop_length=64, num_frames=32)
+    enh = BucketedEnhancer(FDBM(cfg), params=None, N=2, batch_size=3,
+                           bucket_frames_multiple=8)
+    lens = [1000, 4000, 2500, 2600, 900, 1500, 3000]
+    plan = enh.plan(lens)
+    # groups descending by length; remainder (shortest) last
+    assert [grp for _, grp in plan] == [[1, 6, 3], [2, 5, 0], [4]]
+    q = 8 * 64
+    for blen, grp in plan:
+        assert blen % q == 0 and blen >= max(lens[i] for i in grp)
+    # chunk-local planning at a batch_size multiple reproduces the
+    # global plan slice (prewarm <-> enhance_folder shape agreement)
+    order = sorted(range(len(lens)), key=lambda i: -lens[i])
+    chunk = [lens[i] for i in order[:6]]
+    sub = enh.plan(chunk)
+    assert [blen for blen, _ in sub] == [blen for blen, _ in plan[:2]]
