@@ -51,6 +51,11 @@ class EnhanceStats:
     # it so sweeps can report cold and steady-state numbers separately.
     prewarm_seconds: float = 0.0
     failures: int = 0
+    # Phase accounting (all included in wall_seconds): input decode,
+    # the enhance dispatch loop, and the final output-write drain.
+    read_seconds: float = 0.0
+    enhance_seconds: float = 0.0
+    write_drain_seconds: float = 0.0
 
     @property
     def throughput(self) -> float:
@@ -359,6 +364,7 @@ def enhance_folder(
 
     # Read everything we can; per-file fault tolerance like
     # infer_folder.py:142-147 (skip + count failures, keep going).
+    t_read = time.perf_counter()
     todo: List[Tuple[str, np.ndarray]] = []
     for path in files:
         try:
@@ -374,6 +380,7 @@ def enhance_folder(
     # Compile every bucket shape concurrently before the sweep — unrolled
     # N=30 samplers take minutes each to compile serially on this
     # toolchain (BENCH_NOTES.md).
+    stats.read_seconds = time.perf_counter() - t_read
     if todo:
         secs = enhancer.prewarm([len(a) for _, a in todo],
                                 batch_sizes=[batch_size])
@@ -401,6 +408,7 @@ def enhance_folder(
         return len(x_hat) / target_sr
 
     write_futs = []
+    t_enh = time.perf_counter()
     with ThreadPoolExecutor(max_workers=2) as writer:
         for s in range(0, len(order), chunk_size):
             idxs = order[s : s + chunk_size]
@@ -427,6 +435,8 @@ def enhance_folder(
             done += len(idxs)
             if progress:
                 print(f"enhanced {done}/{len(order)} files", flush=True)
+        stats.enhance_seconds = time.perf_counter() - t_enh
+        t_drain = time.perf_counter()
         for path, fut in write_futs:
             try:
                 stats.audio_seconds += fut.result()
@@ -434,6 +444,7 @@ def enhance_folder(
             except Exception as e:
                 print(f"[skip] {path}: write failed: {e}")
                 stats.failures += 1
+        stats.write_drain_seconds = time.perf_counter() - t_drain
 
     stats.wall_seconds = time.perf_counter() - t_start
     return stats

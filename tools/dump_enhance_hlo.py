@@ -23,8 +23,10 @@ def main():
     n_steps = int(sys.argv[1]) if len(sys.argv) > 1 else 30
     out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/enhance_hlo.txt"
 
+    backbone = os.environ.get("FDBM_TPU_PROFILE_BACKBONE",
+                              "tfgridnet_5l32c100")
     cfg = FDBMConfig(
-        mode="generative", backbone="tfgridnet_5l32c100", bridge="sb",
+        mode="generative", backbone=backbone, bridge="sb",
         noise_schedule="bb", sampler_type="sde_ei", N=n_steps,
         inference_dtype="bfloat16",
     )

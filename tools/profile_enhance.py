@@ -48,8 +48,10 @@ def main():
     out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/enhance_prof"
     reps = 2
 
+    backbone = os.environ.get("FDBM_TPU_PROFILE_BACKBONE",
+                              "tfgridnet_5l32c100")
     cfg = FDBMConfig(
-        mode="generative", backbone="tfgridnet_5l32c100", bridge="sb",
+        mode="generative", backbone=backbone, bridge="sb",
         noise_schedule="bb", sampler_type="sde_ei", N=n_steps,
         inference_dtype="bfloat16",
     )

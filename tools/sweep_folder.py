@@ -75,8 +75,13 @@ def main():
     print(f"files={stats.files} failures={stats.failures} "
           f"audio_s={stats.audio_seconds:.1f} wall_s={stats.wall_seconds:.1f} "
           f"prewarm_s={stats.prewarm_seconds:.1f} "
+          f"read_s={stats.read_seconds:.1f} "
+          f"enhance_s={stats.enhance_seconds:.1f} "
+          f"drain_s={stats.write_drain_seconds:.1f} "
           f"end-to-end={stats.throughput:.2f} "
-          f"steady={stats.steady_throughput:.2f} audio-s/s", flush=True)
+          f"steady={stats.steady_throughput:.2f} "
+          f"enhance-loop={stats.audio_seconds / stats.enhance_seconds if stats.enhance_seconds else 0.0:.2f} audio-s/s",
+          flush=True)
     shutil.rmtree(root)
 
 
