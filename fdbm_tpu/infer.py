@@ -282,12 +282,22 @@ class BucketedEnhancer:
         # (the reference builds each batch synchronously between
         # dispatches — that serial host work was ~1/3 of the end-to-end
         # folder-sweep gap vs the steady-state bench, BENCH_NOTES r2).
+        trace = os.environ.get("FDBM_TPU_SERVE_TRACE") == "1"
+        t_prev = time.perf_counter()
         pending = None
         for blen, chunk in schedule:
             key, sub = jax.random.split(key)
+            t0 = time.perf_counter()
             nxt = dispatch(blen, chunk, sub)
+            t1 = time.perf_counter()
             if pending is not None:
                 retire(pending)
+            t2 = time.perf_counter()
+            if trace:
+                print(f"[serve] blen={blen} n={len(chunk)} "
+                      f"gap={t0 - t_prev:.2f} build+h2d={t1 - t0:.2f} "
+                      f"retire={t2 - t1:.2f}", flush=True)
+            t_prev = t2
             pending = nxt
         if pending is not None:
             retire(pending)

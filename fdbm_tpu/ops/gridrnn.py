@@ -398,12 +398,24 @@ def _canvas_kernel(xf_cur, xf_nxt, xb_cur, xb_nxt, w_comb, bias, wd,
 
 
 def _pick_tile(p: int, max_tile: int) -> int:
-    """Largest tile (multiple of 8, <= max) minimising pad waste over p."""
-    best, best_waste = 8, float("inf")
+    """Tile (multiple of 8, <= max) minimising the GRID CELL COUNT over
+    p, tie-broken by pad waste.
+
+    The former waste-minimising objective was a measured pathology: at
+    the folder 5.12 s bucket (p=332) it picked tile 56 (waste 4, SIX
+    tiles) over tile 88 (waste 20, FOUR tiles), and the kernel's
+    per-cell fixed costs (input-block DMAs, pipeline ramp, per-step dot
+    latency at narrow row counts) blew the per-path kernel time from the
+    ~8 ms linear expectation to a profiled 31.9 ms — 2.1x on the whole
+    batch. Cells are expensive, pad rows are cheap (they ride along the
+    same VPU ops).
+    """
+    best, best_key = 8, (float("inf"), float("inf"))
     for t in range(8, max_tile + 1, 8):
-        waste = -(-p // t) * t - p
-        if waste <= best_waste:  # <=: prefer the larger tile on ties
-            best, best_waste = t, waste
+        n = -(-p // t)
+        key = (n, n * t - p)
+        if key <= best_key:  # <=: prefer the larger tile on ties
+            best, best_key = t, key
     return min(best, _round_up(p, 8))
 
 
