@@ -199,3 +199,19 @@ def test_canvas_kernel_bf16_streams(mxu_bf16):
            / np.linalg.norm(want[:, 3:L]))
     assert err < 2e-2, f"bf16 canvas kernel relative error {err}"
     assert np.isfinite(got).all()
+
+
+def test_pick_tile_minimises_grid_cells():
+    """Round-4 regression: at the folder 5.12 s bucket (p=332) the
+    waste-minimising picker chose tile 56 (six cells) and the kernel ran
+    at 31.9 ms vs ~8 ms linear; cells-first picks 88 (four cells). Bench
+    shapes keep their compiler-validated tile 88."""
+    from fdbm_tpu.ops.gridrnn import _pick_tile
+
+    assert _pick_tile(332, 88) == 88   # the measured pathology shape
+    assert _pick_tile(262, 88) == 88   # bench intra
+    assert _pick_tile(263, 88) == 88   # bench inter
+    # ties on cell count break toward less pad waste
+    assert _pick_tile(100, 88) == 56   # 2 cells either way; 56 wastes 12
+    # p below the cap: one exact-ish tile
+    assert _pick_tile(50, 88) == 56
