@@ -52,6 +52,56 @@ def _gn_groups(ch: int) -> int:
     return min(max(ch // 4, 1), 32)
 
 
+class GroupNormAct(nn.Module):
+    """Drop-in ``nn.GroupNorm`` (identical param tree: scale/bias) with
+    fp32 statistics computed via group-indicator MXU dots and the
+    follow-on SiLU + output cast FUSED into the normalise pass.
+
+    Why: flax GroupNorm's reshaped [.., G, C/G] stats view has a tiny
+    minor dim (C/G = 4) that is 32x lane-padded on TPU, and the separate
+    ``act(h).astype(dtype)`` pass re-reads and re-writes the whole
+    feature map — device-profiled at ~570 ms (28%) of the 2.0 s
+    batch-16 N=30 NCSN++ enhance program. An indicator-matrix dot
+    ([B*HW, C] x [C, G]) computes the same per-group sums with no
+    padded view, and variance uses the same E[x^2]-mu^2 form flax does.
+    """
+
+    num_groups: int
+    epsilon: float = 1e-6
+    act: bool = False
+    out_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+        g = self.num_groups
+        cg = c // g
+        assert g * cg == c, "channels must divide into groups"
+        x32 = x.astype(jnp.float32)
+        spatial = int(np.prod(x.shape[1:-1]))
+        xf = x32.reshape(x.shape[0], spatial, c)
+        ind = jnp.asarray(np.kron(np.eye(g, dtype=np.float32),
+                                  np.ones((cg, 1), np.float32)))  # [C, G]
+        hi = jax.lax.Precision.HIGHEST
+        s1 = jnp.einsum("bnc,cg->bg", xf, ind, precision=hi)
+        s2 = jnp.einsum("bnc,cg->bg", xf * xf, ind, precision=hi)
+        n = spatial * cg
+        mu = s1 / n
+        var = jnp.maximum(s2 / n - mu * mu, 0.0)
+        inv = jax.lax.rsqrt(var + self.epsilon)
+        # broadcast per-group stats back to per-channel lanes (tiny dots)
+        mu_c = jnp.einsum("bg,cg->bc", mu, ind, precision=hi)
+        inv_c = jnp.einsum("bg,cg->bc", inv, ind, precision=hi)
+        bshape = (x.shape[0],) + (1,) * (x.ndim - 2) + (c,)
+        h = ((x32 - mu_c.reshape(bshape)) * inv_c.reshape(bshape)
+             * scale + bias)
+        if self.act:
+            h = h * jax.nn.sigmoid(h)  # SiLU, fused into the same pass
+        return h.astype(self.out_dtype)
+
+
 class AttnBlock(nn.Module):
     """Channel-wise self-attention over all spatial positions
     (reference layerspp.py:62-91)."""
@@ -64,8 +114,8 @@ class AttnBlock(nn.Module):
     @nn.compact
     def __call__(self, x: Array) -> Array:
         b, h, w, c = x.shape
-        g = nn.GroupNorm(num_groups=_gn_groups(c), epsilon=1e-6,
-                         dtype=jnp.float32, name="norm")(x).astype(self.dtype)
+        g = GroupNormAct(num_groups=_gn_groups(c), epsilon=1e-6,
+                         out_dtype=self.dtype, name="norm")(x)
         q = nn.Dense(c, kernel_init=default_init(), dtype=self.dtype, name="q")(g)
         k = nn.Dense(c, kernel_init=default_init(), dtype=self.dtype, name="k")(g)
         v = nn.Dense(c, kernel_init=default_init(), dtype=self.dtype, name="v")(g)
@@ -98,9 +148,8 @@ class ResnetBlockBigGAN(nn.Module):
     @nn.compact
     def __call__(self, x: Array, temb: Array = None, train: bool = False) -> Array:
         act = nn.swish
-        h = nn.GroupNorm(num_groups=_gn_groups(self.in_ch), epsilon=1e-6,
-                         dtype=jnp.float32, name="gn0")(x)
-        h = act(h).astype(self.dtype)
+        h = GroupNormAct(num_groups=_gn_groups(self.in_ch), epsilon=1e-6,
+                         act=True, out_dtype=self.dtype, name="gn0")(x)
 
         if self.up:
             h = upsample_2d(h, FIR_KERNEL, factor=2)
@@ -115,9 +164,8 @@ class ResnetBlockBigGAN(nn.Module):
             bias = nn.Dense(self.out_ch, kernel_init=default_init(),
                             dtype=self.dtype, name="temb_proj")(act(temb))
             h = h + bias[:, None, None, :]
-        h = nn.GroupNorm(num_groups=_gn_groups(self.out_ch), epsilon=1e-6,
-                         dtype=jnp.float32, name="gn1")(h)
-        h = act(h).astype(self.dtype)
+        h = GroupNormAct(num_groups=_gn_groups(self.out_ch), epsilon=1e-6,
+                         act=True, out_dtype=self.dtype, name="gn1")(h)
         if self.dropout > 0:
             h = nn.Dropout(self.dropout, deterministic=not train)(h)
         h = nn.Conv(self.out_ch, (3, 3), padding="SAME",
@@ -241,12 +289,13 @@ class NCSNpp(nn.Module):
                 h = attnblock(f"up_attn_{i_level}", in_ch)(h)
 
             # progressive output_skip pyramid (ncsnpp_v2.py:338-359)
-            gn = nn.GroupNorm(num_groups=_gn_groups(in_ch), epsilon=1e-6,
-                              dtype=jnp.float32, name=f"pyr_gn_{i_level}")
+            gn = GroupNormAct(num_groups=_gn_groups(in_ch), epsilon=1e-6,
+                              act=True, out_dtype=self.dtype,
+                              name=f"pyr_gn_{i_level}")
             conv = nn.Conv(channels, (3, 3), padding="SAME",
                            kernel_init=default_init(self.init_scale),
                            dtype=self.dtype, name=f"pyr_conv_{i_level}")
-            pyr_h = conv(act(gn(h)).astype(self.dtype))
+            pyr_h = conv(gn(h))
             if i_level == num_resolutions - 1:
                 pyramid = pyr_h
             else:
