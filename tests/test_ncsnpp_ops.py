@@ -132,3 +132,31 @@ def test_ncsnpp_grads_flow():
     assert all(np.all(np.isfinite(np.asarray(g))) for g in leaves)
     nonzero = sum(bool(np.any(np.asarray(g) != 0)) for g in leaves)
     assert nonzero > len(leaves) * 0.5
+
+
+def test_groupnorm_act_matches_flax():
+    """GroupNormAct (indicator-dot stats, fused SiLU+cast) == flax
+    nn.GroupNorm + swish + astype on the same params (round-4: the flax
+    lowering spent 28% of the NCSN++ serving program in padded stats
+    views and separate act/cast passes)."""
+    import flax.linen as nn
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from fdbm_tpu.models.ncsnpp import GroupNormAct
+
+    rng = np.random.default_rng(7)
+    for c, g in ((16, 4), (32, 8), (128, 32)):
+        x = jnp.asarray(rng.standard_normal((2, 5, 6, c)) * 2 + 0.3,
+                        jnp.float32)
+        ref_mod = nn.GroupNorm(num_groups=g, epsilon=1e-6, dtype=jnp.float32)
+        params = ref_mod.init(jax.random.PRNGKey(0), x)
+        params = jax.tree.map(
+            lambda p: p + 0.05 * jnp.arange(p.size, dtype=p.dtype
+                                            ).reshape(p.shape), params)
+        want = np.asarray(nn.swish(ref_mod.apply(params, x)))
+        got_mod = GroupNormAct(num_groups=g, epsilon=1e-6, act=True,
+                               out_dtype=jnp.float32)
+        got = np.asarray(got_mod.apply(params, x))
+        np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-6)
