@@ -32,7 +32,8 @@ def main():
     )
     fdbm = FDBM(cfg)
     params = fdbm.init_params(jax.random.PRNGKey(0))
-    batch, length = 16, 255 * cfg.hop_length
+    frames = int(os.environ.get("FDBM_TPU_PROFILE_FRAMES", "255"))
+    batch, length = 16, frames * cfg.hop_length
     rng = np.random.default_rng(0)
     y = jnp.asarray(rng.standard_normal((batch, length)).astype(np.float32) * 0.1)
     key = jax.random.PRNGKey(1)
