@@ -154,7 +154,13 @@ def test_fm_path_train_and_enhance(wav_root, tmp_path):
             open(os.path.join(log_dir, "metrics.jsonl")).read().splitlines()]
     losses = [r["train_loss"] for r in recs if "train_loss" in r]
     assert losses and all(np.isfinite(losses))
-    assert losses[-1] < losses[0]  # training actually reduces the loss
+    # training actually reduces the loss — compare half-means, not the
+    # two endpoints: per-step losses are noisy (random t, random prior
+    # draws) and the endpoint comparison flipped sign between numerically
+    # equivalent LayerNorm lowerings (round-4: first step happened to
+    # sample low, trajectory mean 5.32 -> 3.87)
+    half = len(losses) // 2
+    assert np.mean(losses[half:]) < np.mean(losses[:half])
 
     # enhance through the fm/ode_ei sampler from the trained state
     from fdbm_tpu.checkpoint import CheckpointManager
