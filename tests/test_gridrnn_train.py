@@ -1,0 +1,119 @@
+"""Differentiable fused grid-RNN (ops/gridrnn_train.py) vs an XLA oracle.
+
+Forward: crop-row exactness against the same numpy-semantics oracle as
+tests/test_gridrnn.py. Backward: the custom VJP must equal the autodiff of
+the ideal unfold -> BiLSTM -> deconv -> fold pipeline for EVERY input
+(x, w_ih, w_hh, bias, w_deconv) under a crop-supported cotangent — the only
+cotangents the model graph ever produces (GridNetBlock's olp crop, see the
+module docstring). Runs in Pallas interpret mode on CPU.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fdbm_tpu.ops.gridrnn_train import grid_fold_train_pair
+
+KS = 4
+
+
+def _jax_oracle(x, w_ih, w_hh, bias, wd):
+    """Differentiable unfold -> BiLSTM -> deconv -> fold (torch semantics)."""
+    s_len, b, c = x.shape
+    L = s_len - (KS - 1)
+    win = jnp.concatenate([x[t : t + L] for t in range(KS)], axis=-1)
+
+    def lstm(w_i, w_h, bi, reverse):
+        hid = w_h.shape[0]
+
+        def cell(carry, xt):
+            h, cst = carry
+            g = xt @ w_i + h @ w_h + bi
+            i = jax.nn.sigmoid(g[:, :hid])
+            f = jax.nn.sigmoid(g[:, hid : 2 * hid])
+            gg = jnp.tanh(g[:, 2 * hid : 3 * hid])
+            o = jax.nn.sigmoid(g[:, 3 * hid :])
+            cst = f * cst + i * gg
+            h = o * jnp.tanh(cst)
+            return (h, cst), h
+
+        init = (jnp.zeros((b, hid), x.dtype), jnp.zeros((b, hid), x.dtype))
+        _, out = jax.lax.scan(cell, init, win, reverse=reverse)
+        return out
+
+    fwd = lstm(w_ih[0], w_hh[0], bias[0], False)
+    bwd = lstm(w_ih[1], w_hh[1], bias[1], True)
+    z = jnp.concatenate([fwd, bwd], axis=-1) @ wd  # [L, B, 4C]
+    return sum(
+        jnp.pad(z[:, :, t * c : (t + 1) * c],
+                ((t, KS - 1 - t), (0, 0), (0, 0)))
+        for t in range(KS))
+
+
+def _rand_args(s_len, b, c, hidden, seed=0):
+    rng = np.random.default_rng(seed)
+    x = jnp.asarray(rng.standard_normal((s_len, b, c)), jnp.float32) * 0.5
+    w_ih = jnp.asarray(rng.standard_normal((2, KS * c, 4 * hidden)),
+                       jnp.float32) * 0.2
+    w_hh = jnp.asarray(rng.standard_normal((2, hidden, 4 * hidden)),
+                       jnp.float32) * 0.2
+    bias = jnp.asarray(rng.standard_normal((2, 4 * hidden)), jnp.float32) * 0.2
+    wd = jnp.asarray(rng.standard_normal((2 * hidden, KS * c)),
+                     jnp.float32) * 0.2
+    return x, w_ih, w_hh, bias, wd
+
+
+SHAPES = [
+    (35, 12, 16, 24),  # L=32: exact fwd (16) and bwd (8) chunk multiples
+    (29, 5, 8, 10),    # L=26: partial chunks in both passes
+    (14, 40, 8, 6),    # L=11: single fwd chunk; 5 backward b-tiles (tile 8)
+]
+
+
+@pytest.mark.parametrize("s_len,b,c,hidden", SHAPES)
+def test_train_forward_matches_oracle_on_crop(s_len, b, c, hidden):
+    args = _rand_args(s_len, b, c, hidden)
+    outf, outb = grid_fold_train_pair(*args)
+    got = np.asarray(outf + outb)
+    want = np.asarray(_jax_oracle(*args))
+    L = s_len - (KS - 1)
+    np.testing.assert_allclose(got[3:L], want[3:L], rtol=2e-4, atol=2e-4)
+    assert np.isfinite(got).all()
+
+
+@pytest.mark.parametrize("s_len,b,c,hidden", SHAPES)
+def test_train_grads_match_oracle(s_len, b, c, hidden):
+    """VJP vs autodiff oracle for a crop-supported cotangent, all 5 inputs."""
+    args = _rand_args(s_len, b, c, hidden)
+    L = s_len - (KS - 1)
+    rng = np.random.default_rng(99)
+    cot = jnp.asarray(rng.standard_normal((L - 3, b, c)), jnp.float32)
+
+    def loss_fused(*a):
+        outf, outb = grid_fold_train_pair(*a)
+        return jnp.sum((outf + outb)[3:L] * cot)
+
+    def loss_oracle(*a):
+        return jnp.sum(_jax_oracle(*a)[3:L] * cot)
+
+    g_fused = jax.grad(loss_fused, argnums=(0, 1, 2, 3, 4))(*args)
+    g_oracle = jax.grad(loss_oracle, argnums=(0, 1, 2, 3, 4))(*args)
+    names = ["x", "w_ih", "w_hh", "bias", "w_deconv"]
+    for nm, gf, go in zip(names, g_fused, g_oracle):
+        np.testing.assert_allclose(
+            np.asarray(gf), np.asarray(go), rtol=5e-4, atol=5e-4,
+            err_msg=f"grad mismatch for {nm}")
+
+
+def test_train_forward_value_matches_inference_kernel():
+    """The stashing forward must produce the inference kernel's values on
+    the crop (same fused pipeline, fp32 io)."""
+    from fdbm_tpu.ops.gridrnn import grid_bilstm_fold
+
+    args = _rand_args(35, 12, 16, 24, seed=7)
+    outf, outb = grid_fold_train_pair(*args)
+    got = np.asarray(outf + outb)
+    want = np.asarray(grid_bilstm_fold(*args))
+    L = 35 - (KS - 1)
+    np.testing.assert_allclose(got[3:L], want[3:L], rtol=1e-5, atol=1e-5)
