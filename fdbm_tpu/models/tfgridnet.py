@@ -141,6 +141,37 @@ class _RnnPath(nn.Module):
                 outb = jnp.swapaxes(outb, 1, 2)
             return outf + outb + d_bias.astype(outf.dtype) + residual
 
+        if self.use_pallas_train and _pallas_fast_path_ok(c, self.hidden):
+            # Train fast path: the DIFFERENTIABLE fused kernel
+            # (ops/gridrnn_train.py, custom VJP with a reverse-sweep
+            # backward kernel) replaces unfold-stack + per-direction
+            # lstm_core + Dense + fold. The k=4 windows stream
+            # ([L, B', 4C], 4x the raw line bytes) and the reshape/
+            # transpose copies around the [S, B', D] kernel layout — the
+            # ~30% "layout glue" cost in the round-4 train-step profile —
+            # all vanish; only two cheap C-wide transposes remain. Same
+            # parameter tree as the generic path (BiLSTM + deconv
+            # _DenseKernel), so checkpoints are interchangeable.
+            from fdbm_tpu.ops.gridrnn_train import grid_fold_train_pair
+
+            w_ih, w_hh, bias_l = BiLSTM(
+                hidden=self.hidden, dtype=self.dtype, use_pallas=True,
+                name="bilstm")(None, in_features=ks * c, return_params=True)
+            wd = _DenseKernel(ks * c, name="deconv")(2 * self.hidden)
+            d_bias = self.param("deconv_bias", nn.initializers.zeros, (c,))
+            h = layer_norm_f32(x, gamma, beta, axis=-1)
+            if seq_axis == 1:
+                h = jnp.swapaxes(h, 1, 2)
+            bb, other, seq, _ = h.shape
+            lines = jnp.swapaxes(h.reshape(bb * other, seq, c), 0, 1)
+            outf, outb = grid_fold_train_pair(
+                lines.astype(jnp.float32), w_ih, w_hh, bias_l, wd)
+            folded = jnp.swapaxes(outf + outb, 0, 1).reshape(bb, other, seq, c)
+            folded = (folded + d_bias).astype(x.dtype)
+            if seq_axis == 1:
+                folded = jnp.swapaxes(folded, 1, 2)
+            return folded + residual
+
         h = layer_norm_f32(x, gamma, beta, axis=-1)
 
         if seq_axis == 1:  # operate over T: move to [B, Q, T, C]

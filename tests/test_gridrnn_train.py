@@ -117,3 +117,69 @@ def test_train_forward_value_matches_inference_kernel():
     want = np.asarray(grid_bilstm_fold(*args))
     L = 35 - (KS - 1)
     np.testing.assert_allclose(got[3:L], want[3:L], rtol=1e-5, atol=1e-5)
+
+
+def test_gridnetblock_train_flag_equivalence():
+    """GridNetBlock(use_pallas_train=True): same params, same output and
+    same grads (params + input) as the XLA scan train path. The fused
+    kernel's pad-contaminated rows live outside the block's olp crop and
+    carry zero cotangent, so block-level loss/grads must agree."""
+    from fdbm_tpu.models.tfgridnet import GridNetBlock
+
+    b, t, q, c, hidden = 2, 10, 9, 16, 24
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.standard_normal((b, t, q, c)), jnp.float32)
+    cot = jnp.asarray(rng.standard_normal((b, t, q, c)), jnp.float32)
+
+    blk_ref = GridNetBlock(emb_dim=c, hidden=hidden)
+    blk_fused = GridNetBlock(emb_dim=c, hidden=hidden, use_pallas_train=True)
+    params = blk_ref.init(jax.random.PRNGKey(0), x)
+
+    def loss(p, xx, blk):
+        return jnp.sum(blk.apply(p, xx) * cot)
+
+    l_ref, g_ref = jax.value_and_grad(loss, argnums=(0, 1))(params, x, blk_ref)
+    l_fused, g_fused = jax.value_and_grad(loss, argnums=(0, 1))(
+        params, x, blk_fused)
+
+    np.testing.assert_allclose(float(l_fused), float(l_ref),
+                               rtol=1e-5, atol=1e-5)
+    flat_ref = jax.tree_util.tree_leaves_with_path(g_ref)
+    flat_fused = jax.tree_util.tree_leaves(g_fused)
+    for (path, a), bq in zip(flat_ref, flat_fused):
+        np.testing.assert_allclose(
+            np.asarray(bq), np.asarray(a), rtol=2e-3, atol=2e-4,
+            err_msg=f"grad mismatch at {jax.tree_util.keystr(path)}")
+
+
+def test_tfgridnet_train_flag_equivalence():
+    """Full TFGridNet forward + param grads: fused train path == scan path."""
+    from fdbm_tpu.models.tfgridnet import TFGridNet
+
+    b, f, t = 1, 17, 12
+    rng = np.random.default_rng(11)
+    xr = rng.standard_normal((2, b, 1, f, t)).astype(np.float32)
+    yr = rng.standard_normal((2, b, 1, f, t)).astype(np.float32)
+    x = jnp.asarray(xr[0] + 1j * xr[1])
+    y = jnp.asarray(yr[0] + 1j * yr[1])
+    tt = jnp.asarray([0.7], jnp.float32)
+
+    kwargs = dict(n_layers=2, emb_dim=16, hidden=20)
+    net_ref = TFGridNet(**kwargs)
+    net_fused = TFGridNet(use_pallas_train=True, **kwargs)
+    params = net_ref.init(jax.random.PRNGKey(1), x, y, tt)
+
+    def loss(p, net):
+        out = net.apply(p, x, y, tt)
+        return jnp.mean(jnp.abs(out) ** 2)
+
+    l_ref, g_ref = jax.value_and_grad(loss)(params, net_ref)
+    l_fused, g_fused = jax.value_and_grad(loss)(params, net_fused)
+    np.testing.assert_allclose(float(l_fused), float(l_ref),
+                               rtol=1e-5, atol=1e-6)
+    flat_ref = jax.tree_util.tree_leaves_with_path(g_ref)
+    flat_fused = jax.tree_util.tree_leaves(g_fused)
+    for (path, a), bq in zip(flat_ref, flat_fused):
+        np.testing.assert_allclose(
+            np.asarray(bq), np.asarray(a), rtol=2e-3, atol=2e-4,
+            err_msg=f"grad mismatch at {jax.tree_util.keystr(path)}")
