@@ -23,6 +23,7 @@ builds **pure jittable step functions** plus a TrainState pytree:
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Any, Dict, Optional
 
 import jax
@@ -162,9 +163,13 @@ class FDBM:
         on_tpu = jax.default_backend() == "tpu"
         # Training backbone: the differentiable Pallas LSTM (custom VJP)
         # replaces the XLA scan on TPU (fast compile + VMEM-resident
-        # recurrence for both passes).
+        # recurrence for both passes).  FDBM_TPU_TRAIN_KERNEL=0/1
+        # overrides the default (used by tools/train_traj_equiv.py to run
+        # the fused-vs-XLA loss-trajectory equivalence on one backend).
+        tk_env = os.environ.get("FDBM_TPU_TRAIN_KERNEL")
+        use_train_kernel = on_tpu if tk_env is None else tk_env == "1"
         self.dnn = BackboneRegistry.get_by_name(cfg.backbone)(
-            dtype=dtype, use_pallas_train=on_tpu, remat=cfg.remat)
+            dtype=dtype, use_pallas_train=use_train_kernel, remat=cfg.remat)
         # Sampling-path twin with the Pallas LSTM recurrence kernel (same
         # parameters; forward-only). Enabled on TPU where it cuts compile
         # time by orders of magnitude and keeps the recurrence in VMEM.

@@ -108,7 +108,11 @@ class _RnnPath(nn.Module):
         gamma = self.param("ln_gamma", nn.initializers.ones, (c,))
         beta = self.param("ln_beta", nn.initializers.zeros, (c,))
 
-        if self.use_pallas and _pallas_fast_path_ok(c, self.hidden):
+        # use_pallas_train takes priority over use_pallas: the inference
+        # kernel has no autodiff rule, so a config enabling both flags must
+        # route through the differentiable train kernel (ADVICE r4).
+        if (self.use_pallas and not self.use_pallas_train
+                and _pallas_fast_path_ok(c, self.hidden)):
             # Inference fast path: ONE canvas-direct Pallas kernel runs
             # unfold -> BiLSTM -> deconv -> overlap-add, reading the 4D
             # canvas directly through BlockSpec index maps (sequence on

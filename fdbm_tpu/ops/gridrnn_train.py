@@ -168,7 +168,7 @@ def _fwd_kernel(xf_cur, xf_nxt, xb_cur, xb_nxt, w_comb, bias, wd,
     buf_b[:] = cb[:cs]
 
 
-def _fwd_call(x, w_comb, bias_p, wd, *, hidden, cdim, L, s_true, b_true):
+def _fwd_call(x, w_comb, bias_p, wd, *, hidden, cdim, L):
     """Pallas call for the stashing forward. x: [rows, bp, C] fp32 padded."""
     cs = _CS_F
     rows, bp, _ = x.shape
@@ -531,15 +531,14 @@ def _pad_rows(a: Array, rows: int) -> Array:
 def _core(dims, x_pad, w_comb, bias_p, wd):
     hidden, cdim, L, s_true = dims
     outf, outb, *_ = _fwd_call(x_pad, w_comb, bias_p, wd, hidden=hidden,
-                               cdim=cdim, L=L, s_true=s_true, b_true=None)
+                               cdim=cdim, L=L)
     return outf, outb
 
 
 def _core_fwd(dims, x_pad, w_comb, bias_p, wd):
     hidden, cdim, L, s_true = dims
     outf, outb, hpf, cpf, hpb, cpb = _fwd_call(
-        x_pad, w_comb, bias_p, wd, hidden=hidden, cdim=cdim, L=L,
-        s_true=s_true, b_true=None)
+        x_pad, w_comb, bias_p, wd, hidden=hidden, cdim=cdim, L=L)
     return (outf, outb), (x_pad, w_comb, bias_p, wd, hpf, cpf, hpb, cpb)
 
 

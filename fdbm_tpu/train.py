@@ -21,7 +21,7 @@ import json
 import os
 import shutil
 import time
-from typing import Any, Dict, Optional
+from typing import Any, Dict, Optional, Tuple
 
 import jax
 import numpy as np
@@ -89,8 +89,11 @@ def evaluate_files(
     sample_dir: Optional[str] = None,
     epoch: int = 0,
     sampler_batch: int = 4,
-) -> Dict[str, float]:
+) -> Tuple[Dict[str, float], Dict[str, int]]:
     """Full-utterance eval: enhance first N valid files, compute metrics.
+
+    Returns ``(metrics, counts)`` — per-metric local means plus the
+    per-metric item counts the multi-host gather weighs them by.
 
     Files are sharded over processes (model.py:297-312); single-process
     here means we take them all.  Files stream through in bounded chunks
