@@ -80,12 +80,19 @@ class BucketedEnhancer:
         bucket_frames_multiple: int = 64,
         sampler_kwargs: Optional[dict] = None,
         mesh=None,
+        chunk_seconds: Optional[float] = None,
     ):
         """``mesh``: optional ``jax.sharding.Mesh`` with a 'data' axis —
         each bucket batch is then sharded across the mesh's chips
         (parallel/mesh.py:make_parallel_enhance), so a single-controller
         multi-chip host splits every batch over ICI instead of running it
-        on one chip.  batch_size must divide the mesh size."""
+        on one chip.  batch_size must divide the mesh size.
+
+        ``chunk_seconds``: sweet-spot pooled chunk serving — utterances
+        longer than ~this are split into equal exact-length chunks
+        pooled through the same batched sweep and cross-fade reassembled
+        (see _enhance_pooled).  None = whole-utterance serving (exact
+        reference semantics up to bucketing)."""
         self.fdbm = fdbm
         self.params = params
         self.sampler_type = sampler_type
@@ -94,6 +101,7 @@ class BucketedEnhancer:
         self.bucket_multiple = max(1, bucket_frames_multiple)
         self.sampler_kwargs = sampler_kwargs or {}
         self.mesh = mesh
+        self.chunk_seconds = chunk_seconds
         if mesh is not None and batch_size % mesh.devices.size != 0:
             raise ValueError(
                 f"batch_size {batch_size} must divide by mesh size "
@@ -179,6 +187,14 @@ class BucketedEnhancer:
         t0 = _time.perf_counter()
         sizes = list(batch_sizes or [self.batch_size])
         key = jax.random.PRNGKey(0)
+        if self.chunk_seconds:
+            # pooled chunk serving dispatches the chunk pieces, not the
+            # raw files — compile the piece shapes.
+            pieces: List[int] = []
+            for L in lengths:
+                chunk_len, starts = self._chunk_plan(int(L))
+                pieces.extend([chunk_len] * len(starts))
+            lengths = pieces
 
         def compile_one(args):
             blen, bs = args
@@ -209,13 +225,19 @@ class BucketedEnhancer:
 
     def enhance_many(self, audios: Sequence[np.ndarray], key: jax.Array,
                      clip_scale: float = 0.95,
-                     max_seconds: float = 30.0) -> List[np.ndarray]:
+                     max_seconds: float = 30.0,
+                     _pooled: bool = True) -> List[np.ndarray]:
         """Enhance a list of 1-D float32 utterances; preserves order.
 
-        Utterances longer than ``max_seconds`` are processed as overlapping
-        chunks with a cross-fade (the scalable long-utterance strategy —
-        SURVEY.md section 5; the reference pushes arbitrary lengths through
-        in one shot, which OOMs/slows beyond ~10^6 samples)."""
+        With ``chunk_seconds`` set on the enhancer, all utterances go
+        through sweet-spot pooled chunk serving (_enhance_pooled).
+        Otherwise utterances longer than ``max_seconds`` are processed as
+        per-file overlapping chunks with a cross-fade (the scalable
+        long-utterance strategy — SURVEY.md section 5; the reference
+        pushes arbitrary lengths through in one shot, which OOMs/slows
+        beyond ~10^6 samples)."""
+        if self.chunk_seconds and _pooled:
+            return self._enhance_pooled(audios, key, clip_scale)
         cfg = self.fdbm.cfg
         max_len = (int(max_seconds * cfg.sr) if np.isfinite(max_seconds)
                    else max(len(a) for a in audios) + 1)
@@ -303,6 +325,28 @@ class BucketedEnhancer:
             retire(pending)
         return out  # type: ignore[return-value]
 
+    @staticmethod
+    def _overlap_add(total_len: int, segments: List[Tuple[int, np.ndarray]],
+                     ramp_len: int) -> np.ndarray:
+        """Cross-fade reassembly of ``(start, enhanced_chunk)`` segments.
+
+        Linear ramps of ``ramp_len`` samples at interior chunk edges;
+        where overlaps are wider than the ramp the weights normalise to
+        an average of the contributing chunks."""
+        out = np.zeros(total_len, np.float64)
+        weight = np.zeros(total_len, np.float64)
+        for s, e in segments:
+            n = len(e)
+            w = np.ones(n)
+            ramp = min(ramp_len, n)
+            w[:ramp] = np.linspace(0, 1, ramp, endpoint=False) if s > 0 else 1.0
+            w[n - ramp :] = np.minimum(w[n - ramp :],
+                                       np.linspace(1, 0, ramp, endpoint=False)) \
+                if s + n < total_len else w[n - ramp :]
+            out[s : s + n] += e * w
+            weight[s : s + n] += w
+        return (out / np.maximum(weight, 1e-8)).astype(np.float32)
+
     def _enhance_long(self, audio: np.ndarray, key: jax.Array,
                       clip_scale: float, max_len: int) -> np.ndarray:
         """Chunked overlap-add enhancement with a linear cross-fade."""
@@ -314,21 +358,74 @@ class BucketedEnhancer:
         chunks = [audio[s : s + chunk_len] for s in starts]
         key, sub = jax.random.split(key)
         enhanced = self.enhance_many(chunks, sub, clip_scale, max_seconds=np.inf)
+        return self._overlap_add(len(audio),
+                                 list(zip(starts, enhanced)), overlap)
 
-        out = np.zeros(len(audio), np.float64)
-        weight = np.zeros(len(audio), np.float64)
-        for s, e in zip(starts, enhanced):
-            n = len(e)
-            w = np.ones(n)
-            ramp = min(overlap, n)
-            w[:ramp] = np.linspace(0, 1, ramp, endpoint=False) if s > 0 else 1.0
-            w[n - ramp :] = np.minimum(w[n - ramp :],
-                                       np.linspace(1, 0, ramp, endpoint=False)) \
-                if s + n < len(audio) else w[n - ramp :]
-            out[s : s + n] += e * w
-            weight[s : s + n] += w
-        out = out / np.maximum(weight, 1e-8)
-        return out.astype(np.float32)
+    def _chunk_plan(self, n_samples: int) -> Tuple[int, List[int]]:
+        """(chunk_len, starts) for sweet-spot pooled chunking.
+
+        ``k = round(L / target)`` equal chunks of one EXACT length
+        (snapped UP to a fine 16-frame quantum so the compile set stays
+        bounded — chunk lengths cluster in (2/3..3/2)x target, ~10
+        distinct shapes worst case), evenly-spaced starts from 0 to
+        L - chunk_len.  k chosen by rounding keeps the overlap overhead
+        ~= (k-1)*overlap/L (a few percent) instead of the up-to-50%
+        a fixed chunk length pays when L is just over a multiple."""
+        cfg = self.fdbm.cfg
+        target = int(self.chunk_seconds * cfg.sr)
+        overlap = 16 * cfg.hop_length
+        fine = 16 * cfg.hop_length  # fine snap quantum (0.256 s at 16 kHz)
+        k = max(1, round(n_samples / target))
+        while True:
+            chunk_len = -(-(n_samples + (k - 1) * overlap) // k)
+            chunk_len = -(-chunk_len // fine) * fine
+            if k == 1 or chunk_len <= n_samples:
+                break
+            k -= 1  # snapping pushed chunks past the file; merge
+        if k == 1:
+            return n_samples, [0]
+        starts = [round(j * (n_samples - chunk_len) / (k - 1))
+                  for j in range(k)]
+        return chunk_len, starts
+
+    def _enhance_pooled(self, audios: Sequence[np.ndarray], key: jax.Array,
+                        clip_scale: float) -> List[np.ndarray]:
+        """Sweet-spot pooled chunk serving (the production folder path).
+
+        Every utterance longer than ~chunk_seconds is split by
+        _chunk_plan into equal exact-length chunks; ALL chunks from ALL
+        files go through ONE sorted-packing batched sweep (so every
+        dispatched row sits near the per-row efficiency sweet spot —
+        the 4-5 s shapes the r4 profile measured at ~15 audio-s/s —
+        instead of the superlinear O(T^2)-attention long buckets), then
+        each file is reassembled with a 16-frame cross-fade.  Short
+        files pass through untouched (single chunk == the whole file,
+        normal bucketing).  The sweet spot defaults to the training
+        crop length (256 frames = 4.096 s), so chunks match the
+        receptive field the DNN was trained on."""
+        hop = self.fdbm.cfg.hop_length
+        overlap = 16 * hop
+        pieces: List[np.ndarray] = []
+        meta: List[Tuple[int, int]] = []  # (file idx, start)
+        for i, a in enumerate(audios):
+            chunk_len, starts = self._chunk_plan(len(a))
+            for s in starts:
+                pieces.append(a[s : s + chunk_len])
+                meta.append((i, s))
+        key, sub = jax.random.split(key)
+        enhanced = self.enhance_many(pieces, sub, clip_scale,
+                                     max_seconds=np.inf, _pooled=False)
+        per_file: List[List[Tuple[int, np.ndarray]]] = [[] for _ in audios]
+        for (i, s), e in zip(meta, enhanced):
+            per_file[i].append((s, e))
+        out: List[np.ndarray] = []
+        for i, a in enumerate(audios):
+            segs = per_file[i]
+            if len(segs) == 1:
+                out.append(segs[0][1])
+            else:
+                out.append(self._overlap_add(len(a), segs, overlap))
+        return out
 
 
 def enhance_folder(
@@ -348,13 +445,24 @@ def enhance_folder(
     sampler_kwargs: Optional[dict] = None,
     progress: bool = True,
     mesh=None,
+    chunk_seconds: Optional[float] = 4.096,
 ) -> EnhanceStats:
     """Enhance every wav under test_dir into enhanced_dir.
 
     ``mesh``: optional data mesh for single-controller multi-chip serving —
     every bucket batch is sharded over the mesh's chips (batch_size must
     divide the mesh size); per-process file sharding composes on top for
-    multi-host pods."""
+    multi-host pods.
+
+    ``chunk_seconds``: sweet-spot pooled chunk serving (default ON at the
+    training crop length, 256 frames = 4.096 s): long utterances are
+    split into equal near-sweet-spot chunks pooled through the batched
+    sweep and cross-fade reassembled, so every dispatched row runs at
+    the per-row efficiency peak instead of the superlinear long-bucket
+    shapes, and the compile set stays bounded for ANY folder.  Pass
+    None/0 for whole-utterance serving (reference semantics up to
+    bucketing; the reference itself is whole-utterance,
+    infer_folder.py:156-232)."""
     files = sorted(
         glob(os.path.join(test_dir, "**", "*.wav"), recursive=True)
         + glob(os.path.join(test_dir, "**", "*.flac"), recursive=True)
@@ -367,6 +475,7 @@ def enhance_folder(
         fdbm, params, sampler_type=sampler_type, N=N, batch_size=batch_size,
         bucket_frames_multiple=bucket_frames_multiple,
         sampler_kwargs=sampler_kwargs, mesh=mesh,
+        chunk_seconds=chunk_seconds or None,
     )
     key = jax.random.PRNGKey(seed + pi)
     stats = EnhanceStats()
@@ -470,15 +579,25 @@ def enhance_single(
     target_sr: int = 16000,
     seed: int = 0,
     sampler_kwargs: Optional[dict] = None,
+    exact_shape: bool = False,
 ) -> np.ndarray:
-    """Single-file enhancement (reference infer_single.py:53-107)."""
+    """Single-file enhancement (reference infer_single.py:53-107).
+
+    By default the utterance is snapped to a 64-frame bucket (pad ->
+    enhance -> trim), so any length reuses one of a handful of compiled
+    programs — a fresh length costs seconds warm instead of a fresh
+    10-15 min unrolled-N=30 compile per distinct shape on this toolchain
+    (BENCH_NOTES r4/r5).  ``exact_shape=True`` restores the
+    exact-length program (bit-matching the bucketless reference path)
+    at that compile cost."""
     audio, sr = read_wav(noisy_file)
     audio = audio[0]
     if sr != target_sr:
         audio = resample(audio, sr, target_sr)
     enhancer = BucketedEnhancer(
         fdbm, params, sampler_type=sampler_type, N=N, batch_size=1,
-        bucket_frames_multiple=1, sampler_kwargs=sampler_kwargs,
+        bucket_frames_multiple=1 if exact_shape else 64,
+        sampler_kwargs=sampler_kwargs,
     )
     x_hat = enhancer.enhance_many([audio], jax.random.PRNGKey(seed),
                                   clip_scale=0.5)[0]

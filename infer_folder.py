@@ -36,6 +36,12 @@ def main():
                     help="shard each batch over this many local chips "
                          "(single-controller multi-chip serving; 0 = one "
                          "chip per batch, files still shard per process)")
+    ap.add_argument("--chunk_seconds", type=float, default=4.096,
+                    help="sweet-spot pooled chunk serving: utterances "
+                         "longer than ~this split into equal cross-faded "
+                         "chunks batched at the efficiency peak (default "
+                         "= the 4.096 s training crop). 0 = whole-"
+                         "utterance serving (reference semantics)")
     ap.add_argument("overrides", nargs="*")
     args = ap.parse_args()
 
@@ -58,6 +64,7 @@ def main():
         keep_structure=bool(cfg.get("keep_structure", True)),
         sampler_kwargs=cfg.get("sampler_kwargs") or {},
         mesh=mesh,
+        chunk_seconds=args.chunk_seconds or None,
     )
     print(json.dumps({
         "files": stats.files,

@@ -75,6 +75,11 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("-C", "--config", required=True)
     ap.add_argument("--slot", default="last", help="checkpoint slot to load")
+    ap.add_argument("--exact_shape", action="store_true",
+                    help="compile the exact utterance length instead of "
+                         "the default 64-frame bucket snap (bit-matches "
+                         "the reference's bucketless path; each new "
+                         "length pays a fresh unrolled-sampler compile)")
     ap.add_argument("overrides", nargs="*")
     args = ap.parse_args()
 
@@ -88,6 +93,7 @@ def main():
         sampler_type=cfg.get("sampler_type"),
         N=int(cfg.get("N", 30)),
         sampler_kwargs=cfg.get("sampler_kwargs") or {},
+        exact_shape=args.exact_shape,
     )
     print(f"wrote {cfg['output_file']} ({len(x_hat)} samples)")
 

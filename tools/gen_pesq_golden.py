@@ -1,18 +1,17 @@
-"""Generate the ITU-PESQ golden calibration table (VERDICT r2 #4).
+"""Generate a SYNTHETIC ITU-PESQ golden table (supplementary).
 
-This image has no ITU `pesq` binding and no network egress, so the golden
-table cannot be generated here.  Run this script on any machine that has
-`pip install pesq` (the ITU-T P.862.2 reference implementation binding):
+NOTE (round 5): the committed golden table tests/data/pesq_golden.json
+is now the 18 REAL ITU P.862.2 scores the reference repo publishes for
+its audio_samples demo utterances (real VoiceBank-DEMAND speech), and
+tests/test_pesq.py::test_itu_golden_calibration runs against it
+in-image.  This script remains for generating an ADDITIONAL synthetic
+condition-grid table on any machine with `pip install pesq` (the ITU
+P.862.2 binding):
 
-    python tools/gen_pesq_golden.py > tests/data/pesq_golden.json
+    python tools/gen_pesq_golden.py > tests/data/pesq_golden_synth.json
 
-and commit the output.  `tests/test_pesq.py::test_itu_golden_calibration`
-then verifies the vendored estimator (fdbm_tpu/pesq_loss.py) against it:
-Spearman rank-correlation >= 0.95 over the condition grid (what the
-`best_pesq` checkpoint slot depends on) and a bounded |delta MOS|.
-
-The conditions are DETERMINISTIC (seeded) and regenerated identically by
-the test, so only (name -> MOS) pairs need to be committed.
+The conditions are DETERMINISTIC (seeded), so only (name -> MOS) pairs
+need committing.
 """
 
 import json
