@@ -152,6 +152,14 @@ def main():
             record["train"] = train_numbers()
         except Exception as e:  # training bench must not sink the headline
             record["train"] = {"error": str(e)[:200]}
+        # NCSN++ train datapoints (VERDICT r4 #6) — same harness, second
+        # backbone; isolated so a failure can't sink the rest.
+        try:
+            from bench_train import train_numbers as _tn
+
+            record["train_ncsnpp_5M"] = _tn("ncsnpp_v2_5M")
+        except Exception as e:
+            record["train_ncsnpp_5M"] = {"error": str(e)[:200]}
     print(json.dumps(record))
 
 

@@ -24,7 +24,8 @@ import numpy as np
 
 
 def measure_train(remat: bool, batch: int, k_short: int = 1,
-                  k_long: int = 4, windows: int = 2) -> float:
+                  k_long: int = 4, windows: int = 2,
+                  backbone: str = "tfgridnet_5l32c100") -> float:
     """Returns audio-seconds trained per wall-second per chip."""
     import jax
     import jax.numpy as jnp
@@ -35,7 +36,7 @@ def measure_train(remat: bool, batch: int, k_short: int = 1,
     sr = 16000
     cfg = FDBMConfig(
         mode="generative",
-        backbone="tfgridnet_5l32c100",
+        backbone=backbone,
         bridge="sb",
         noise_schedule="bb",
         loss_type="data_prediction_hybrid",
@@ -70,25 +71,32 @@ def measure_train(remat: bool, batch: int, k_short: int = 1,
     return batch * length / sr / dt
 
 
-def train_numbers() -> dict:
+def train_numbers(backbone: str = "tfgridnet_5l32c100") -> dict:
     """Both operating points, keyed for the bench.py JSON line."""
     return {
-        "no_remat_b2": round(measure_train(remat=False, batch=2), 3),
-        "remat_b8": round(measure_train(remat=True, batch=8), 3),
+        "no_remat_b2": round(measure_train(remat=False, batch=2,
+                                           backbone=backbone), 3),
+        "remat_b8": round(measure_train(remat=True, batch=8,
+                                        backbone=backbone), 3),
         "unit": "train_audio_s/s/chip",
+        "backbone": backbone,
     }
 
 
 def main():
+    import sys
+
     from fdbm_tpu.utils.compilation_cache import setup_compilation_cache
 
     setup_compilation_cache()
-    nums = train_numbers()
+    backbone = sys.argv[1] if len(sys.argv) > 1 else "tfgridnet_5l32c100"
+    nums = train_numbers(backbone)
     for k in ("no_remat_b2", "remat_b8"):
         print(json.dumps({
             "metric": f"train_audio_sec_per_sec_per_chip_{k}",
             "value": nums[k],
             "unit": "audio_s/s/chip",
+            "backbone": backbone,
             "vs_baseline": nums[k],
         }))
 

@@ -110,11 +110,29 @@ class BucketedEnhancer:
 
     # -- internals -----------------------------------------------------------
 
+    # Pooled-serving fine bucket quantum (frames).  Chunk lengths are
+    # planned directly ON this grid (_chunk_plan), so chunked rows run at
+    # their exact compute shape with ZERO bucket padding; the quantum also
+    # applies to whole short files inside the sweet band (>= 2/3 target),
+    # where the compile set stays bounded (~(3/2-2/3)*target/16 shapes).
+    _FINE_FRAMES = 16
+
     def _bucket_length(self, n_samples: int) -> int:
         """Smallest multiple of (bucket_multiple * hop) >= n_samples, so a
         bucket always covers the utterance and frame counts per bucket are
-        multiples of bucket_multiple (+1)."""
-        quantum = self.bucket_multiple * self.fdbm.cfg.hop_length
+        multiples of bucket_multiple (+1).
+
+        Pooled chunk serving (chunk_seconds set) buckets rows in the
+        sweet band at the fine 16-frame quantum instead: the r5 mixed
+        sweep measured ~11% of every chunked row lost to re-snapping the
+        fine-planned chunks up to the 64-frame grid (277-frame chunks
+        computed at 320)."""
+        hop = self.fdbm.cfg.hop_length
+        quantum = self.bucket_multiple * hop
+        if self.chunk_seconds:
+            target = int(self.chunk_seconds * self.fdbm.cfg.sr)
+            if n_samples * 3 >= target * 2:  # sweet band: >= 2/3 target
+                quantum = min(quantum, self._FINE_FRAMES * hop)
         return max(quantum, -(-n_samples // quantum) * quantum)
 
     def _get_fn(self, length: int):
@@ -142,6 +160,14 @@ class BucketedEnhancer:
                 fn = jax.jit(enhance)
             self._jitted[length] = fn
         return fn
+
+    def _dispatch_width(self, n_rows: int) -> int:
+        """Batch width a group of n_rows rows dispatches at: the full
+        batch size, except the under-filled remainder group, which runs
+        at the covering power of two (mesh serving always full-width)."""
+        if self.mesh is not None or n_rows >= self.batch_size:
+            return self.batch_size
+        return max(1, 1 << (n_rows - 1).bit_length())
 
     def plan(self, lengths: Sequence[int]) -> List[Tuple[int, List[int]]]:
         """Sorted-packing schedule: files in DESCENDING length order, packed
@@ -203,9 +229,13 @@ class BucketedEnhancer:
             # trigger trace+compile; result discarded
             fn(self.params, dummy, key).block_until_ready()
 
-        jobs = [(blen, bs) for blen, _ in self.plan(list(lengths))
-                for bs in sizes]
-        jobs = sorted(set(jobs))
+        plans = self.plan(list(lengths))
+        # the widths enhance_many will actually dispatch (incl. the
+        # power-of-two remainder), plus any explicitly requested sizes
+        jobs = {(blen, self._dispatch_width(len(grp))) for blen, grp in plans}
+        if batch_sizes:
+            jobs |= {(blen, bs) for blen, _ in plans for bs in sizes}
+        jobs = sorted(jobs)
         with ThreadPoolExecutor(max_workers=min(8, len(jobs) or 1)) as pool:
             list(pool.map(compile_one, jobs))
         return _time.perf_counter() - t0
@@ -259,17 +289,28 @@ class BucketedEnhancer:
 
         # Sorted-packing schedule (see plan): full batches, descending
         # lengths, one compiled program per distinct snapped group-max.
-        # Batches always run at the full batch shape (zero rows, outputs
+        # Full groups run at the full batch shape (zero rows, outputs
         # discarded) — compiles cost minutes on this toolchain, wasted
-        # rows cost milliseconds.
+        # rows cost milliseconds; only the global remainder shrinks to
+        # its power-of-two width (_dispatch_width).
         schedule = self.plan([len(a) for a in audios])
 
         out: List[Optional[np.ndarray]] = [None] * len(audios)
 
         def dispatch(blen: int, chunk: List[int], sub: jax.Array):
-            """Host-side batch build + ASYNC device dispatch."""
-            batch = np.zeros((self.batch_size, blen), np.float32)
-            norms = np.ones(self.batch_size, np.float32)
+            """Host-side batch build + ASYNC device dispatch.
+
+            The global-remainder batch (sorted-packing puts it on the
+            SHORTEST rows) dispatches at the power-of-two width covering
+            its real rows instead of the full batch width — the r5 sweep
+            measured the full-width remainder (4 real rows of 16) at a
+            whole batch's cost, ~6% of the steady window.  jax.jit
+            re-specialises per shape, so this is one extra compile per
+            (bucket, width), prewarmed like the rest.  Mesh serving keeps
+            the full width (batch must divide the mesh)."""
+            width = self._dispatch_width(len(chunk))
+            batch = np.zeros((width, blen), np.float32)
+            norms = np.ones(width, np.float32)
             for j, i in enumerate(chunk):
                 a, norm = self._normalise(audios[i], cfg.normalize)
                 norms[j] = norm
@@ -298,31 +339,38 @@ class BucketedEnhancer:
                     x = x / peak * clip_scale
                 out[i] = x.astype(np.float32)
 
-        # Software pipeline over jax's async dispatch: batch k+1 is built
-        # on host and queued on the device BEFORE blocking on batch k's
-        # result, so host prep/post-processing overlaps device compute
-        # (the reference builds each batch synchronously between
-        # dispatches — that serial host work was ~1/3 of the end-to-end
-        # folder-sweep gap vs the steady-state bench, BENCH_NOTES r2).
+        # Software pipeline over jax's async dispatch: up to ``depth``
+        # batches are built on host and queued on the device BEFORE
+        # blocking on the oldest result, so host prep/post-processing AND
+        # h2d transfer overlap device compute (the reference builds each
+        # batch synchronously between dispatches — that serial host work
+        # was ~1/3 of the end-to-end folder-sweep gap vs the steady-state
+        # bench, BENCH_NOTES r2; depth 3 additionally hides the per-batch
+        # h2d/dispatch latency the depth-1 pipeline still exposed at the
+        # retire boundary).  Memory bound: depth x batch output buffers
+        # (~5 MB each at production shapes) — trivial.
+        depth = int(os.environ.get("FDBM_TPU_SERVE_DEPTH", "3"))
         trace = os.environ.get("FDBM_TPU_SERVE_TRACE") == "1"
+        from collections import deque
+
         t_prev = time.perf_counter()
-        pending = None
+        pending: deque = deque()
         for blen, chunk in schedule:
             key, sub = jax.random.split(key)
             t0 = time.perf_counter()
-            nxt = dispatch(blen, chunk, sub)
+            pending.append(dispatch(blen, chunk, sub))
             t1 = time.perf_counter()
-            if pending is not None:
-                retire(pending)
-            t2 = time.perf_counter()
+            t2 = t1
+            if len(pending) >= max(1, depth):
+                retire(pending.popleft())
+                t2 = time.perf_counter()
             if trace:
                 print(f"[serve] blen={blen} n={len(chunk)} "
                       f"gap={t0 - t_prev:.2f} build+h2d={t1 - t0:.2f} "
                       f"retire={t2 - t1:.2f}", flush=True)
             t_prev = t2
-            pending = nxt
-        if pending is not None:
-            retire(pending)
+        while pending:
+            retire(pending.popleft())
         return out  # type: ignore[return-value]
 
     @staticmethod
@@ -364,26 +412,46 @@ class BucketedEnhancer:
     def _chunk_plan(self, n_samples: int) -> Tuple[int, List[int]]:
         """(chunk_len, starts) for sweet-spot pooled chunking.
 
-        ``k = round(L / target)`` equal chunks of one EXACT length
-        (snapped UP to a fine 16-frame quantum so the compile set stays
-        bounded — chunk lengths cluster in (2/3..3/2)x target, ~10
-        distinct shapes worst case), evenly-spaced starts from 0 to
-        L - chunk_len.  k chosen by rounding keeps the overlap overhead
-        ~= (k-1)*overlap/L (a few percent) instead of the up-to-50%
-        a fixed chunk length pays when L is just over a multiple."""
+        Chunk lengths are planned directly ON the serving bucket grid
+        (the fine 16-frame quantum _bucket_length uses inside the sweet
+        band), so a chunked row's compute shape IS its chunk length —
+        zero bucket padding.  k (the chunk count) is chosen to MINIMISE
+        the computed frames k * chunk_len subject to chunks staying in
+        the sweet band (2/3..3/2 x target — below, per-row fixed costs
+        bite; above, the O(T^2) attention / V-ladder superlinear regime
+        the r4 sweep measured at +33% per frame), tie-broken toward
+        fewer chunks.  Files at most 3/2 x target pass through whole
+        (k=1, normal bucketing).  Evenly-spaced starts keep overlaps
+        >= 16 frames of cross-fade (guaranteed by the coverage
+        constraint chunk_len >= (L + (k-1)*overlap) / k)."""
         cfg = self.fdbm.cfg
         target = int(self.chunk_seconds * cfg.sr)
         overlap = 16 * cfg.hop_length
-        fine = 16 * cfg.hop_length  # fine snap quantum (0.256 s at 16 kHz)
-        k = max(1, round(n_samples / target))
-        while True:
+        fine = self._FINE_FRAMES * cfg.hop_length
+        lo = (2 * target) // 3
+        hi = (3 * target + 1) // 2
+        if n_samples <= max(hi, fine):
+            return n_samples, [0]
+        best: Optional[Tuple[int, int, int]] = None  # (cost, k, chunk_len)
+        k_min = max(2, -(-n_samples // hi))
+        k_max = max(k_min, n_samples // max(lo, fine))
+        for k in range(k_min, k_max + 1):
             chunk_len = -(-(n_samples + (k - 1) * overlap) // k)
             chunk_len = -(-chunk_len // fine) * fine
-            if k == 1 or chunk_len <= n_samples:
-                break
-            k -= 1  # snapping pushed chunks past the file; merge
-        if k == 1:
-            return n_samples, [0]
+            if chunk_len > n_samples:
+                continue
+            if best is not None and chunk_len < lo:
+                break  # below the band and a feasible plan exists
+            cost = k * chunk_len
+            if best is None or cost < best[0]:
+                best = (cost, k, chunk_len)
+        if best is None:  # pathological (tiny target): fall back to k_min
+            k = k_min
+            chunk_len = min(n_samples,
+                            -(-(-(-(n_samples + (k - 1) * overlap) // k))
+                              // fine) * fine)
+            best = (k * chunk_len, k, chunk_len)
+        _, k, chunk_len = best
         starts = [round(j * (n_samples - chunk_len) / (k - 1))
                   for j in range(k)]
         return chunk_len, starts

@@ -298,13 +298,16 @@ class Bridge:
         rtol: float = 1e-5,
         atol: float = 1e-5,
         max_steps: int = 1000,
+        z: Optional[Array] = None,
     ) -> Array:
         """Adaptive Dormand-Prince RK45 probability-flow ODE solve.
 
         Replaces scipy.integrate.solve_ivp(method='RK45') with an on-device
-        while_loop so no host round-trips occur per step.
+        while_loop so no host round-trips occur per step.  ``z`` overrides
+        the prior CN(0,1) draw (common-noise cross-framework parity hook,
+        same as prior_sampling's).
         """
-        x0 = self.prior_sampling(key, y)
+        x0 = self.prior_sampling(key, y, z=z)
         t0, t1 = self.start_time, self.end_time
         batch = y.shape[0]
         bcast = (slice(None),) + (None,) * (y.ndim - 1)

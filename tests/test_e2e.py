@@ -134,23 +134,35 @@ def test_long_utterance_chunked_enhancement():
 
 def test_chunk_plan_properties():
     """_chunk_plan: exact-length chunks, full coverage, >=16-frame overlap,
-    fine-quantum snapped, k ~= round(L/target)."""
+    bucket-grid snapped (zero padding when served), computed-frames
+    minimal over the feasible k range."""
     cfg = FDBMConfig(mode="generative", N=1, **SMALL)
     fdbm = FDBM(cfg)
     enh = BucketedEnhancer(fdbm, None, batch_size=2, chunk_seconds=0.5)
     hop = cfg.hop_length
     target = int(0.5 * cfg.sr)
     fine = 16 * hop
+    overlap = 16 * hop
+    hi = (3 * target + 1) // 2
     for L in (3000, 7900, 8000, 8500, 12000, 17000, 24001, 40000):
         chunk_len, starts = enh._chunk_plan(L)
+        k = len(starts)
         assert starts[0] == 0
         assert starts[-1] + chunk_len >= L          # coverage
         assert chunk_len <= L
-        if len(starts) == 1:
+        if k == 1:
             assert chunk_len == L                   # short file untouched
+            assert L <= max(hi, fine)
             continue
         assert chunk_len % fine == 0                # bounded compile set
-        assert len(starts) == max(1, round(L / target))
+        # chunked rows run at their exact compute shape: bucket == chunk
+        assert enh._bucket_length(chunk_len) == chunk_len
+        assert k >= -(-L // hi)                     # chunks near the band
+        # k minimises computed samples vs the naive round(L/target) count
+        k_naive = max(2, round(L / target))
+        naive_len = -(-(-(-(L + (k_naive - 1) * overlap) // k_naive))
+                      // fine) * fine
+        assert k * chunk_len <= k_naive * max(naive_len, chunk_len)
         for a, b in zip(starts, starts[1:]):
             assert b > a
             assert a + chunk_len - b >= 16 * hop    # min cross-fade overlap

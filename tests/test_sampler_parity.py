@@ -410,3 +410,117 @@ def test_sde_ei_production_shape_parity():
     err = _rel_err(out, ref_out)
     si_sdr = -20.0 * np.log10(err + 1e-12)
     assert si_sdr > 40.0, f"production-shape SI-SDR {si_sdr:.1f} dB"
+
+
+# ---------------------------------------------------------------------------
+# ode_int: adaptive RK45 vs the reference's scipy solve_ivp (VERDICT r4 #8)
+# ---------------------------------------------------------------------------
+
+# bb only: on gmax the REFERENCE's own scipy solve_ivp RK45 diverges
+# (output norm inf, "invalid value encountered in divide" — the gmax
+# probability-flow ODE's 1/rho_bar^2 weights are too stiff near t=1 for
+# an explicit solver), so there is no reference behaviour to match; the
+# shipped configs use gmax only with the EI samplers.
+@pytest.mark.parametrize("schedule", ["bb"])
+def test_ode_int_sampler_common_prior_analytic(schedule):
+    """ode_int (on-device Dormand-Prince RK45, sampling.py:293-318) vs the
+    reference's scipy.integrate.solve_ivp RK45 (bridge.py:115-140) with an
+    identical prior draw and an analytic score model.
+
+    Both solvers adaptively integrate the SAME probability-flow ODE from
+    the same x0 at rtol=atol=1e-5; they take different step sequences, so
+    agreement is bounded by solver tolerance x dynamics amplification, not
+    exactness — gate 1e-3 relative (observed ~1e-4).
+
+    Batch 1: the reference's `path.ode` (bridge.py:283-290) applies its
+    [B] weights without the [:, None, None, None] unsqueeze, so any B>1
+    crashes on broadcast — the same latent bug as its euler_maruyama
+    predictor (see _ref_pc_sampler).  At B=1 the [1] weight broadcasts
+    correctly, which is the only shape the reference ever runs this
+    sampler at (infer_single.py)."""
+    from fdbm.bridge import Bridge as RefBridge
+
+    ref_model, jax_model = _analytic_models()
+    f, t = 17, 24
+
+    rng = np.random.default_rng(29)
+    y = _cn_noise(rng, (1, 1, f, t)) * 0.3
+    z0 = _cn_noise(rng, y.shape)
+
+    ref_bridge = RefBridge("sb", sampler_type="ode_int",
+                           noise_schedule=schedule)
+    with _inject_torch_noise([z0]):
+        ref_out = ref_bridge.sampler(ref_model, torch.from_numpy(y),
+                                     rtol=1e-5, atol=1e-5).numpy()
+
+    bridge = Bridge.create("sb", sampler_type="ode_int",
+                           noise_schedule=schedule)
+    out = np.asarray(bridge.ode_sampler_int(
+        jax_model, jnp.asarray(y), jax.random.PRNGKey(0),
+        rtol=1e-5, atol=1e-5, z=jnp.asarray(z0)))
+
+    assert out.shape == ref_out.shape
+    err = _rel_err(out, ref_out)
+    assert err < 1e-3, f"ode_int[{schedule}] analytic relative error {err}"
+
+
+@pytest.mark.slow
+def test_ode_int_sampler_common_prior_dnn(ported_gridnet):
+    """ode_int end-to-end with the ported TF-GridNet and a common prior
+    draw vs the reference scipy RK45 sampler (bridge.py:115-140).
+
+    Trajectory-level agreement is NOT the gate here, because it does not
+    exist even within the reference: with an untrained net the bb
+    probability-flow ODE is chaotic (thousands of adaptive steps, each
+    amplifying call-level fp32 noise), and a measured control shows the
+    REFERENCE against ITSELF at rtol 1e-4 vs 1e-5 (same weights, same
+    prior, sampling_eps=0.03) diverges to rel 0.50 (6.0 dB) — the same
+    order as the cross-framework gap at matched tolerance (0.52).  The
+    solver/weight formulas are proven tight by the analytic test above;
+    this test pins the DNN seam to the measured noise floor:
+
+    * both solves finite and non-degenerate,
+    * output norms within 20% (both solvers land on the same attractor:
+      control norms 46.6 vs 47.7, cross-framework 49.4 vs measured ref),
+    * cross-framework rel error <= 0.8 — 1.6x the reference's own
+      tolerance-sensitivity control (0.50).
+
+    sampling_eps=0.03 keeps the solve out of the 1/sigma^2 blow-up tail
+    (at the default 1e-4 the reference needs ~6000 evals and amplifies
+    the prior norm ~7x; both sides still land within 1% in norm there).
+
+    slow: two adaptive solves (~200 s scipy + XLA:CPU while_loop
+    compile)."""
+    from fdbm.bridge import Bridge as RefBridge
+
+    ref, flax_model, params = ported_gridnet
+    ref_model, jax_model = _model_fns(ref, flax_model, params)
+    f, t = 17, 24
+
+    rng = np.random.default_rng(31)
+    y = _cn_noise(rng, (1, 1, f, t)) * 0.3
+    z0 = _cn_noise(rng, y.shape)
+
+    ref_bridge = RefBridge("sb", sampler_type="ode_int",
+                           noise_schedule="bb", sampling_eps=0.03)
+    with _inject_torch_noise([z0]):
+        ref_out = ref_bridge.sampler(ref_model, torch.from_numpy(y),
+                                     rtol=1e-4, atol=1e-4).numpy()
+
+    bridge = Bridge.create("sb", sampler_type="ode_int",
+                           noise_schedule="bb", sampling_eps=0.03)
+    out = np.asarray(bridge.ode_sampler_int(
+        jax_model, jnp.asarray(y), jax.random.PRNGKey(0),
+        rtol=1e-4, atol=1e-4, z=jnp.asarray(z0)))
+
+    assert out.shape == ref_out.shape
+    assert np.isfinite(out).all() and np.isfinite(ref_out).all()
+    n_ref = np.linalg.norm(ref_out)
+    n_out = np.linalg.norm(out)
+    assert n_ref > 1.0 and n_out > 1.0, "degenerate solve"
+    assert abs(n_out - n_ref) / n_ref < 0.2, (
+        f"norm mismatch {n_out:.2f} vs {n_ref:.2f}")
+    err = _rel_err(out, ref_out)
+    assert err < 0.8, (
+        f"cross-framework rel {err:.3f} exceeds 1.6x the reference's own "
+        f"tolerance-sensitivity control (0.50)")

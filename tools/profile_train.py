@@ -5,7 +5,7 @@ Writes the trace under <out_dir>, the optimized HLO beside it, and prints
 the per-category aggregate; feed both to tools/attr_profile.py for
 source-line attribution of the backward pass.
 
-Usage: python tools/profile_train.py [batch] [remat 0|1] [out_dir]
+Usage: python tools/profile_train.py [batch] [remat 0|1] [out_dir] [backbone]
 """
 
 import os
@@ -26,9 +26,10 @@ def main():
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 2
     remat = bool(int(sys.argv[2])) if len(sys.argv) > 2 else False
     out_dir = sys.argv[3] if len(sys.argv) > 3 else "/root/repo/.profiles/train_r4"
+    backbone = sys.argv[4] if len(sys.argv) > 4 else "tfgridnet_5l32c100"
 
     cfg = FDBMConfig(
-        mode="generative", backbone="tfgridnet_5l32c100", bridge="sb",
+        mode="generative", backbone=backbone, bridge="sb",
         noise_schedule="bb", loss_type="data_prediction_hybrid", remat=remat,
     )
     fdbm = FDBM(cfg)
