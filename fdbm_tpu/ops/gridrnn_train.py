@@ -24,6 +24,17 @@ a custom VJP.
   like ops/lstm._lstm_bwd_kernel) and flush on the final step. The unfold's
   transpose (overlap-add of per-tap dgates @ W_ih^T) reuses the fold
   pipeline; the fold's transpose (windows of dout) reuses the window build.
+* Exact extents (round 5): both kernels read and write the true
+  [s_true, b, C] arrays directly — clamped block index maps plus
+  in-kernel select masks replace the r4 call-site zero-pads/slices
+  (x pad, output crop, cotangent re-pads: five full HBM copies per
+  fwd+bwd, ~6 ms of the 78 ms b2 train step — BENCH_NOTES r5).  Masks
+  zero both the row overrun (>= s_true) and the batch overrun (>= b)
+  of every loaded block: out-of-bounds Pallas loads are undefined, and
+  an undefined NaN would otherwise reach the weight-grad accumulators
+  through 0*NaN.  Out-of-range *store* steps skip their write so the
+  clamp-revisited block stores its buffered content back unchanged
+  (same trick as ops/gridrnn.py's exact-shaped outputs).
 
 Gradient semantics: the VJP computes the gradient of the IDEAL
 unfold->BiLSTM->deconv->fold function. The fused forward's pad-contaminated
@@ -73,8 +84,9 @@ def _fwd_kernel(xf_cur, xf_nxt, xb_cur, xb_nxt, w_comb, bias, wd,
                 outf, outb, hpf, cpf, hpb, cpb,
                 h_scr, c_scr, carry_f, buf_b, hbuf_f, hbuf_b,
                 cbuf_f, cbuf_b, last_scr,
-                *, hidden: int, cdim: int, L: int, n_real: int):
-    """One (b_tile, step) on [S, B', C] seq-major fp32 inputs.
+                *, hidden: int, cdim: int, L: int, n_real: int,
+                s_true: int, b: int):
+    """One (b_tile, step) on EXACT [s_true, b, C] seq-major fp32 inputs.
 
     Identical recurrence/fold to ops/gridrnn._grid_kernel (fp32 io), plus
     four stash outputs holding the PREVIOUS step's (h, c) per position:
@@ -82,10 +94,29 @@ def _fwd_kernel(xf_cur, xf_nxt, xb_cur, xb_nxt, w_comb, bias, wd,
     prev-state shift happens at store time from the chunk h/c buffers and
     two [4, tile, H] cross-chunk rows (last_scr), so the step loop stays
     store-free.
+
+    The caller no longer zero-pads x into the kernel's row space (that
+    pad was a full HBM copy per call, ~1.1 ms at production shape —
+    BENCH_NOTES r5 re-attribution): index maps CLAMP at the true block
+    range and every loaded block is select-masked to zero outside
+    [0, s_true) x [0, b) — the same clamp+mask technique as the
+    inference kernel (ops/gridrnn.py:339-366).  Masking to zero is not
+    just parity with the old zero-pad: out-of-bounds Pallas loads are
+    UNDEFINED bytes, and a NaN there would poison the VMEM weight-grad
+    accumulators through 0*NaN in the backward twin.
     """
     j = pl.program_id(1)
+    bi = pl.program_id(0)
     cs = _CS_F
     tb = xf_cur.shape[1]
+
+    rows_l = jax.lax.broadcasted_iota(jnp.int32, (cs, 1, 1), 0)
+    bmask = (jax.lax.broadcasted_iota(jnp.int32, (1, tb, 1), 1)
+             + bi * tb) < b
+
+    def msk(block, base):
+        ok = jnp.logical_and(rows_l + base >= 0, rows_l + base < s_true)
+        return jnp.where(jnp.logical_and(ok, bmask), block, 0.0)
 
     @pl.when(j == 0)
     def _():
@@ -95,8 +126,11 @@ def _fwd_kernel(xf_cur, xf_nxt, xb_cur, xb_nxt, w_comb, bias, wd,
         buf_b[:] = jnp.zeros_like(buf_b)
         last_scr[:] = jnp.zeros_like(last_scr)
 
-    winf = _windows(xf_cur[:], xf_nxt[:], cs)
-    winb = _windows(xb_cur[:], xb_nxt[:], cs)
+    m_blk = n_real - 1 - j
+    winf = _windows(msk(xf_cur[:], j * cs), msk(xf_nxt[:], (j + 1) * cs),
+                    cs)
+    winb = _windows(msk(xb_cur[:], m_blk * cs),
+                    msk(xb_nxt[:], (m_blk + 1) * cs), cs)
 
     # Input projection FUSED into the recurrent matmul (one [tb, 4C+H'] x
     # [4C+H', 4H'] dot on the concatenated [window | h] rows per step) —
@@ -162,35 +196,52 @@ def _fwd_kernel(xf_cur, xf_nxt, xb_cur, xb_nxt, w_comb, bias, wd,
     cf = _fold19(zf, cdim, tb) * live
     cb = _fold19(zb, cdim, tb) * live
     pad13 = jnp.zeros((cs - (_KS - 1), tb, cdim), jnp.float32)
-    outf[:] = cf[:cs] + jnp.concatenate([carry_f[:], pad13], axis=0)
+    outf_val = cf[:cs] + jnp.concatenate([carry_f[:], pad13], axis=0)
     carry_f[:] = cf[cs:]
-    outb[:] = buf_b[:] + jnp.concatenate([cb[cs:], pad13], axis=0)
+    outb_val = buf_b[:] + jnp.concatenate([cb[cs:], pad13], axis=0)
     buf_b[:] = cb[:cs]
+
+    # Exact-extent outputs: block indices past the last real block are
+    # CLAMPED in the out index maps, so an out-of-range step revisits the
+    # last real block — skip the write there and Pallas stores the
+    # buffered (already-correct) content back unmodified.
+    @pl.when(j * cs < s_true)
+    def _():
+        outf[:] = outf_val
+
+    @pl.when((n_real - j) * cs < s_true)
+    def _():
+        outb[:] = outb_val
 
 
 def _fwd_call(x, w_comb, bias_p, wd, *, hidden, cdim, L):
-    """Pallas call for the stashing forward. x: [rows, bp, C] fp32 padded."""
+    """Pallas call for the stashing forward. x: EXACT [s_true, b, C] fp32.
+
+    No caller-side padding: the block index maps clamp into the true
+    block range of x and the kernel select-masks out-of-range loads
+    (see _fwd_kernel docstring); out/dx arrays are allocated at the true
+    [s_true, b] extent with clamped store maps + skipped writes, and
+    Pallas drops partial-block stores at the array edge."""
     cs = _CS_F
-    rows, bp, _ = x.shape
-    tile = _tile_for(bp, _TILE_F)
+    s_true, b, _ = x.shape
+    tile = _TILE_F if b >= _TILE_F else _round_up(b, 8)
     n_real = -(-L // cs)
+    nb_x = -(-s_true // cs)
     kc = _KS * cdim
     hp = hidden
-    grid = (bp // tile, n_real + 1)
+    grid = (-(-b // tile), n_real + 1)
 
-    # x is padded to (n_real + 2) * cs rows, so the `nxt` streams never
-    # address past the array (j + 1 <= n_real + 1).
     def cur_f(i, j):
-        return (j, i, 0)
+        return (jnp.minimum(j, nb_x - 1), i, 0)
 
     def nxt_f(i, j):
-        return (j + 1, i, 0)
+        return (jnp.minimum(j + 1, nb_x - 1), i, 0)
 
     def cur_b(i, j):
-        return (jnp.maximum(n_real - 1 - j, 0), i, 0)
+        return (jnp.clip(n_real - 1 - j, 0, nb_x - 1), i, 0)
 
     def nxt_b(i, j):
-        return (jnp.maximum(n_real - j, 0), i, 0)
+        return (jnp.clip(n_real - j, 0, nb_x - 1), i, 0)
 
     def stash_f(i, j):
         return (jnp.minimum(j, n_real - 1), i, 0)
@@ -198,12 +249,18 @@ def _fwd_call(x, w_comb, bias_p, wd, *, hidden, cdim, L):
     def stash_b(i, j):
         return (jnp.clip(n_real - 1 - j, 0, n_real - 1), i, 0)
 
+    def out_f(i, j):
+        return (jnp.minimum(j, nb_x - 1), i, 0)
+
+    def out_b(i, j):
+        return (jnp.clip(n_real - j, 0, nb_x - 1), i, 0)
+
     blk_c = (cs, tile, cdim)
     blk_h = (cs, tile, hp)
     bcast = lambda i, j: (0, 0, 0)
     outs = pl.pallas_call(
         functools.partial(_fwd_kernel, hidden=hp, cdim=cdim, L=L,
-                          n_real=n_real),
+                          n_real=n_real, s_true=s_true, b=b),
         grid=grid,
         in_specs=[
             pl.BlockSpec(blk_c, cur_f, memory_space=pltpu.VMEM),
@@ -215,19 +272,17 @@ def _fwd_call(x, w_comb, bias_p, wd, *, hidden, cdim, L):
             pl.BlockSpec((2, hp, kc), bcast, memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec(blk_c, lambda i, j: (j, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(blk_c, lambda i, j: (n_real - j, i, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(blk_c, out_f, memory_space=pltpu.VMEM),
+            pl.BlockSpec(blk_c, out_b, memory_space=pltpu.VMEM),
             pl.BlockSpec(blk_h, stash_f, memory_space=pltpu.VMEM),
             pl.BlockSpec(blk_h, stash_f, memory_space=pltpu.VMEM),
             pl.BlockSpec(blk_h, stash_b, memory_space=pltpu.VMEM),
             pl.BlockSpec(blk_h, stash_b, memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct(((n_real + 1) * cs, bp, cdim), jnp.float32),
-            jax.ShapeDtypeStruct(((n_real + 1) * cs, bp, cdim), jnp.float32),
-        ] + [jax.ShapeDtypeStruct((n_real * cs, bp, hp), jnp.float32)] * 4,
+            jax.ShapeDtypeStruct((s_true, b, cdim), jnp.float32),
+            jax.ShapeDtypeStruct((s_true, b, cdim), jnp.float32),
+        ] + [jax.ShapeDtypeStruct((n_real * cs, b, hp), jnp.float32)] * 4,
         scratch_shapes=[
             pltpu.VMEM((2 * tile, hp), jnp.float32),
             pltpu.VMEM((2 * tile, hp), jnp.float32),
@@ -334,7 +389,8 @@ def _bwd_kernel(xf_cur, xf_nxt, dof_cur, dof_nxt, hpf, cpf,
                 dxf, dxb, dwc_out, db_out, dwd_out,
                 dh_f, dc_f, dh_b, dc_b,
                 dwc_scr, db_scr, dwd_scr, buf_f, carry_b,
-                *, hidden: int, cdim: int, L: int, n_real: int):
+                *, hidden: int, cdim: int, L: int, n_real: int,
+                s_true: int, b: int):
     """One (b_tile, step) of the fused backward. Grid dims BOTH sequential:
     weight-grad scratch accumulates across every cell and flushes once.
 
@@ -366,18 +422,38 @@ def _bwd_kernel(xf_cur, xf_nxt, dof_cur, dof_nxt, hpf, cpf,
 
     m = n_real - 1 - j
     rows = jax.lax.broadcasted_iota(jnp.int32, (cs, 1, 1), 0)
-    live_f = jnp.logical_and(rows + m * cs < L, m >= 0)
-    live_b = rows + j * cs < L  # j == n_real rows start at n_real*cs >= L
+    # batch-validity folds into the live masks (so invalid batch lanes'
+    # dgates/dz zero out of the VMEM weight-grad accumulation) AND into
+    # the input loads (an out-of-bounds load is undefined — a NaN there
+    # would survive 0*NaN into the accumulators).
+    bmask = (jax.lax.broadcasted_iota(jnp.int32, (1, tb, 1), 1)
+             + bi * tb) < b
+    live_f = jnp.logical_and(
+        jnp.logical_and(rows + m * cs < L, m >= 0), bmask)
+    live_b = jnp.logical_and(rows + j * cs < L, bmask)
+    # j == n_real rows start at n_real*cs >= L (dead under live_b)
+
+    def msk(block, base):
+        ok = jnp.logical_and(rows + base >= 0, rows + base < s_true)
+        return jnp.where(jnp.logical_and(ok, bmask), block, 0.0)
+
+    def bmsk(block):
+        # where, not multiply: an undefined load can be NaN and NaN*0=NaN
+        return jnp.where(bmask, block, 0.0)
 
     dwin_f, dwc_f, db_f, dwd_f = _bwd_dir_sweep(
-        _windows(xf_cur[:], xf_nxt[:], cs),
-        _windows(dof_cur[:], dof_nxt[:], cs),
-        hpf[:], cpf[:], w_comb[0], wcombT[0], wdT[0], bias[0, 0],
+        _windows(msk(xf_cur[:], m * cs), msk(xf_nxt[:], (m + 1) * cs), cs),
+        _windows(msk(dof_cur[:], m * cs), msk(dof_nxt[:], (m + 1) * cs),
+                 cs),
+        bmsk(hpf[:]), bmsk(cpf[:]),
+        w_comb[0], wcombT[0], wdT[0], bias[0, 0],
         live_f, True, dh_f, dc_f, hidden=hidden, cdim=cdim)
     dwin_b, dwc_b, db_b, dwd_b = _bwd_dir_sweep(
-        _windows(xb_cur[:], xb_nxt[:], cs),
-        _windows(dob_cur[:], dob_nxt[:], cs),
-        hpb[:], cpb[:], w_comb[1], wcombT[1], wdT[1], bias[0, 1],
+        _windows(msk(xb_cur[:], j * cs), msk(xb_nxt[:], (j + 1) * cs), cs),
+        _windows(msk(dob_cur[:], j * cs), msk(dob_nxt[:], (j + 1) * cs),
+                 cs),
+        bmsk(hpb[:]), bmsk(cpb[:]),
+        w_comb[1], wcombT[1], wdT[1], bias[0, 1],
         live_b, False, dh_b, dc_b, hidden=hidden, cdim=cdim)
 
     dwc_scr[0] += dwc_f
@@ -394,11 +470,22 @@ def _bwd_kernel(xf_cur, xf_nxt, dof_cur, dof_nxt, hpf, cpf,
     # forward dir walks blocks DESCENDING: block m's top 3 rows spill into
     # block m+1, which was processed last step and sits buffered. Write
     # block m+1 now; hold block m's body.
-    dxf[:] = buf_f[:] + jnp.concatenate([cf[cs:], pad13], axis=0)
+    dxf_val = buf_f[:] + jnp.concatenate([cf[cs:], pad13], axis=0)
     buf_f[:] = cf[:cs]
     # backward dir walks ASCENDING: standard carry pipeline.
-    dxb[:] = cb[:cs] + jnp.concatenate([carry_b[:], pad13], axis=0)
+    dxb_val = cb[:cs] + jnp.concatenate([carry_b[:], pad13], axis=0)
     carry_b[:] = cb[cs:]
+
+    # Exact-extent dx: skip writes whose (clamped) out block is past the
+    # last real block (see _fwd_kernel — revisited blocks store their
+    # buffered content back unmodified).
+    @pl.when((n_real - j) * cs < s_true)
+    def _():
+        dxf[:] = dxf_val
+
+    @pl.when(j * cs < s_true)
+    def _():
+        dxb[:] = dxb_val
 
     last = jnp.logical_and(bi == pl.num_programs(0) - 1,
                            j == pl.num_programs(1) - 1)
@@ -422,46 +509,54 @@ def _bwd_call(x, doutf, doutb, hpf, cpf, hpb, cpb, w_comb, bias_p, wd,
               *, hidden, cdim, L):
     """Pallas call for the fused backward.
 
-    x/doutf/doutb: [rows_b, bp, C] fp32 (zero-padded past the true rows);
-    stashes: [n_real_f * _CS_F, bp, H]. Returns (dxf, dxb, dwcomb, dbias,
+    x/doutf/doutb: EXACT [s_true, b, C] fp32 (no caller-side padding —
+    clamped index maps + in-kernel select masks, see _fwd_kernel);
+    stashes: [n_real_f * _CS_F, b, H]. Returns (dxf, dxb, dwcomb, dbias,
     dwd) — dx split per direction (summed by the caller, XLA fuses it into
     the consumer), weight grads in the PADDED layouts of _prep_weights.
     """
     cs = _CS_B
-    rows, bp, _ = x.shape
-    tile = _tile_for(bp, _TILE_B)
+    s_true, b, _ = x.shape
+    tile = _TILE_B if b >= _TILE_B else _round_up(b, 8)
     n_real = -(-L // cs)
+    nb_x = -(-s_true // cs)
     kc = _KS * cdim
     hp = hidden
     wcombT = jnp.swapaxes(w_comb, 1, 2)  # [2, 4H, 4C+H]
     wdT = jnp.swapaxes(wd, 1, 2)         # [2, 4C, H]
-    grid = (bp // tile, n_real + 1)
+    grid = (-(-b // tile), n_real + 1)
 
     blk_c = (cs, tile, cdim)
     blk_h = (cs, tile, hp)
     bcast3 = lambda i, j: (0, 0, 0)
 
     # Model-FORWARD direction sweeps blocks descending (m = n_real-1-j);
-    # model-BACKWARD direction ascends (block j). x/dout are padded to
-    # (n_real + 2) * cs rows so the ascending `nxt` stream never overruns.
+    # model-BACKWARD direction ascends (block j).  All row streams clamp
+    # into x's true block range; the kernel masks out-of-range loads.
     def cur_f(i, j):
-        return (jnp.maximum(n_real - 1 - j, 0), i, 0)
+        return (jnp.clip(n_real - 1 - j, 0, nb_x - 1), i, 0)
 
     def nxt_f(i, j):
-        return (jnp.maximum(n_real - j, 0), i, 0)
+        return (jnp.clip(n_real - j, 0, nb_x - 1), i, 0)
 
     def cur_b(i, j):
-        return (j, i, 0)
+        return (jnp.minimum(j, nb_x - 1), i, 0)
 
     def nxt_b(i, j):
-        return (j + 1, i, 0)
+        return (jnp.minimum(j + 1, nb_x - 1), i, 0)
 
     def stash_b(i, j):
         return (jnp.minimum(j, n_real - 1), i, 0)
 
+    def dx_f(i, j):
+        return (jnp.clip(n_real - j, 0, nb_x - 1), i, 0)
+
+    def dx_b(i, j):
+        return (jnp.minimum(j, nb_x - 1), i, 0)
+
     return pl.pallas_call(
         functools.partial(_bwd_kernel, hidden=hp, cdim=cdim, L=L,
-                          n_real=n_real),
+                          n_real=n_real, s_true=s_true, b=b),
         grid=grid,
         in_specs=[
             pl.BlockSpec(blk_c, cur_f, memory_space=pltpu.VMEM),
@@ -482,18 +577,16 @@ def _bwd_call(x, doutf, doutb, hpf, cpf, hpb, cpb, w_comb, bias_p, wd,
             pl.BlockSpec((2, kc, hp), bcast3, memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec(blk_c, lambda i, j: (n_real - j, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(blk_c, lambda i, j: (j, i, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(blk_c, dx_f, memory_space=pltpu.VMEM),
+            pl.BlockSpec(blk_c, dx_b, memory_space=pltpu.VMEM),
             pl.BlockSpec((2, kc + hp, 4 * hp), bcast3,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 2, 4 * hp), bcast3, memory_space=pltpu.VMEM),
             pl.BlockSpec((2, hp, kc), bcast3, memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct(((n_real + 1) * cs, bp, cdim), jnp.float32),
-            jax.ShapeDtypeStruct(((n_real + 1) * cs, bp, cdim), jnp.float32),
+            jax.ShapeDtypeStruct((s_true, b, cdim), jnp.float32),
+            jax.ShapeDtypeStruct((s_true, b, cdim), jnp.float32),
             jax.ShapeDtypeStruct((2, kc + hp, 4 * hp), jnp.float32),
             jax.ShapeDtypeStruct((1, 2, 4 * hp), jnp.float32),
             jax.ShapeDtypeStruct((2, hp, kc), jnp.float32),
@@ -523,45 +616,33 @@ def _bwd_call(x, doutf, doutb, hpf, cpf, hpb, cpb, w_comb, bias_p, wd,
 # ---------------------------------------------------------------------------
 
 
-def _pad_rows(a: Array, rows: int) -> Array:
-    return jnp.pad(a, ((0, rows - a.shape[0]), (0, 0), (0, 0)))
-
-
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
-def _core(dims, x_pad, w_comb, bias_p, wd):
-    hidden, cdim, L, s_true = dims
-    outf, outb, *_ = _fwd_call(x_pad, w_comb, bias_p, wd, hidden=hidden,
+def _core(dims, x, w_comb, bias_p, wd):
+    hidden, cdim, L = dims
+    outf, outb, *_ = _fwd_call(x, w_comb, bias_p, wd, hidden=hidden,
                                cdim=cdim, L=L)
     return outf, outb
 
 
-def _core_fwd(dims, x_pad, w_comb, bias_p, wd):
-    hidden, cdim, L, s_true = dims
+def _core_fwd(dims, x, w_comb, bias_p, wd):
+    hidden, cdim, L = dims
     outf, outb, hpf, cpf, hpb, cpb = _fwd_call(
-        x_pad, w_comb, bias_p, wd, hidden=hidden, cdim=cdim, L=L)
-    return (outf, outb), (x_pad, w_comb, bias_p, wd, hpf, cpf, hpb, cpb)
+        x, w_comb, bias_p, wd, hidden=hidden, cdim=cdim, L=L)
+    return (outf, outb), (x, w_comb, bias_p, wd, hpf, cpf, hpb, cpb)
 
 
 def _core_bwd(dims, res, cot):
-    hidden, cdim, L, s_true = dims
-    x_pad, w_comb, bias_p, wd, hpf, cpf, hpb, cpb = res
+    hidden, cdim, L = dims
+    x, w_comb, bias_p, wd, hpf, cpf, hpb, cpb = res
     doutf, doutb = cot
-    bp = x_pad.shape[1]
-    n_real_b = -(-L // _CS_B)
-    rows_b = (n_real_b + 2) * _CS_B
-    # Re-pad to the backward chunking; cotangent rows past the true output
-    # extent are the forward's own fold-pad rows — they never reach the
-    # caller (the public wrapper slices [:s_true]) so their cotangent is
-    # zero by construction, but slice defensively anyway.
-    xb = _pad_rows(x_pad[:s_true], rows_b)
-    dof = _pad_rows(doutf[:s_true], rows_b)
-    dob = _pad_rows(doutb[:s_true], rows_b)
+    # No re-padding: forward and backward kernels both read the exact
+    # [s_true, b, C] extents directly (the r4 version re-materialised x
+    # and both cotangents into the backward chunking's padded row space —
+    # three full HBM copies per call).
     dxf, dxb, dwcomb, dbias, dwd = _bwd_call(
-        xb, dof, dob, hpf, cpf, hpb, cpb, w_comb, bias_p, wd,
+        x, doutf, doutb, hpf, cpf, hpb, cpb, w_comb, bias_p, wd,
         hidden=hidden, cdim=cdim, L=L)
-    dx = dxf[: s_true] + dxb[: s_true]
-    dx_pad = _pad_rows(dx, x_pad.shape[0])
-    return dx_pad, dwcomb, dbias, dwd
+    return dxf + dxb, dwcomb, dbias, dwd
 
 
 _core.defvjp(_core_fwd, _core_bwd)
@@ -599,12 +680,11 @@ def grid_fold_train_pair(x: Array, w_ih: Array, w_hh: Array, bias: Array,
     hp = _round_up(hidden, LANE)
     w_comb, bias_p, wd = _prep_weights(w_ih, w_hh, bias, w_deconv, hidden, hp)
 
-    n_real_f = -(-L // _CS_F)
-    rows_f = (n_real_f + 2) * _CS_F
-    bp = _round_up(b, _TILE_F) if b >= _TILE_F else _round_up(b, 8)
-    x_pad = jnp.pad(x.astype(jnp.float32),
-                    ((0, rows_f - s_true), (0, bp - b), (0, 0)))
-    dims = (hp, cdim, L, s_true)
-    outf, outb = _core(dims, x_pad, w_comb.astype(jnp.float32),
-                       bias_p.astype(jnp.float32), wd.astype(jnp.float32))
-    return outf[:s_true, :b], outb[:s_true, :b]
+    # Exact extents end to end: no x zero-pad into the kernel row space,
+    # no output crop — and therefore no pad of the output cotangent on
+    # the way back (clamped index maps + in-kernel select masks replace
+    # all of them; BENCH_NOTES r5 measured the pads/slices at ~6 ms of
+    # the 78 ms train step).
+    dims = (hp, cdim, L)
+    return _core(dims, x.astype(jnp.float32), w_comb.astype(jnp.float32),
+                 bias_p.astype(jnp.float32), wd.astype(jnp.float32))
