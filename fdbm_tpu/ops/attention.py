@@ -112,7 +112,20 @@ def _vmem_estimate(tq: int, t_len: int, qk_lanes: int, n_head: int,
     tmp = 2 * tq_p * v_blk * 4 + tq_p * sl * 4
     k_stage = t_p * ql * 4
     v_stage = t_p * v_blk * io_bytes
-    return q_blk + k_b + v_b + o_blk + scr + tmp + k_stage + v_stage
+    total = q_blk + k_b + v_b + o_blk + scr + tmp + k_stage + v_stage
+    if io_bytes == 4:
+        # fp32 headroom (r5 anchor): every term above was calibrated on
+        # the five bf16 compiler anchors, where the fp32 staging copies
+        # coincide with the io-dtype buffers.  At io fp32 Mosaic keeps
+        # additional full-precision temporaries the bf16 model cannot
+        # see: the compiler measured 26.59 MiB for T=321 / tq=128 /
+        # v1024 / fp32 (in-training eval, b=2) against a 15.1 MiB
+        # estimate — a 1.76x deficit that OOMed the scoped-VMEM stack.
+        # Scale by the measured ratio + margin; fp32 shapes that no
+        # longer fit fall back to the XLA attention path (eval-only —
+        # production serving is bf16 and keeps its validated configs).
+        total = int(total * 1.8)
+    return total
 
 
 def _pick_q_tile(t_len: int, qk_lanes: int, n_head: int,

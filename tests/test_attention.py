@@ -184,3 +184,22 @@ def test_frame_attention_fused_norms_matches_unfused():
                    pp["params"]["beta"]) for pp in all_params)
     got = np.asarray(frame_attention(q, k, v, h, e, norms=norms))
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_vmem_gate_fp32_headroom():
+    """fp32 VMEM-gate regression (r5): the in-training-eval shape that
+    OOMed the scoped-VMEM stack (T=321, 257 q-bins, H=8, E=1 -> 2056
+    qk lanes, fp32: compiler measured 26.59 MiB vs a 15.1 MiB estimate,
+    tq=128/v1024) must now be REJECTED at fp32 — the model falls back to
+    the XLA attention path — while the five compiler-anchored bf16
+    serving configs keep their exact (tq, v_blk) picks."""
+    from fdbm_tpu.ops.attention import _pick_q_tile
+
+    # the r5 soak's OOM shape: fp32 must reject (None -> XLA fallback)
+    assert _pick_q_tile(321, 2056, 8, 4, hd=32) is None
+    # bf16 production serving configs unchanged (compiler-validated r4):
+    assert _pick_q_tile(256, 2056, 8, 2, hd=32) == (256, 2048)
+    assert _pick_q_tile(262, 2056, 8, 2, hd=32) == (128, 2048)
+    assert _pick_q_tile(321, 2056, 8, 2, hd=32) == (128, 2048)
+    # small fp32 shapes (unit tests, short utterances) still fuse
+    assert _pick_q_tile(24, 24 * 8, 8, 4, hd=32) is not None
